@@ -1,0 +1,233 @@
+"""Gauss-Newton tracking costs on SO(3)/SE(3) and the AL cost transformer.
+
+Replaces the reference cost classes (`traoptlibrary/traopt_cost.py`):
+
+  - `SO3TrackingQuadraticGaussNewtonCost:280` / `SE3TrackingQuadraticGaussNewtonCost:570`
+    / `DroneTrackingQuadraticGaussNewtonCost:870` -> one group-generic
+    `tracking_cost` (the drone variant is the SE(3) cost with nu=4, which is
+    how the reference scripts actually use it,
+    `benchmark_drone_racing_tracking.py:210`).
+  - `ALConstrainedCost:1173` -> `al_cost` transformer carrying (lmbd, Imu, mu)
+    in its params pytree.
+
+Cost (ref docstring traopt_cost.py:578-584):
+    l  = ||Log(X Xbar^-1)||^2_Q1 + ||xi - xibar||^2_Q2 + ||u||^2_R
+    lN = ||Log(X Xbar^-1)||^2_P1 + ||xi - xibar||^2_P2
+
+The pose error is the *left* difference (manif `lminus`,
+traopt_cost.py:695), whose right-perturbation Jacobian is
+``J_e_x = Jr^-1(e) @ Ad(Xbar)`` — closed form here where the reference calls
+into manif.  ``Ad(Xbar_i)`` is reference-only, so it is precomputed once at
+construction instead of per solver iteration.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from trajectory_optimization_matrix_lie_groups_tpu.models.base import CostDef
+from trajectory_optimization_matrix_lie_groups_tpu.ops.group import Group
+
+
+def _bmv(M, v):
+    return jnp.einsum("...ij,...j->...i", M, v)
+
+
+class TrackingCostParams(NamedTuple):
+    Q1: jnp.ndarray       # (d, d) pose-error weight
+    Q2: jnp.ndarray       # (d, d) velocity-error weight
+    R: jnp.ndarray        # (nu, nu)
+    P1: jnp.ndarray       # (d, d) terminal pose weight
+    P2: jnp.ndarray       # (d, d) terminal velocity weight
+    q_ref: jnp.ndarray    # (N+1, m, m)
+    q_ref_inv: jnp.ndarray  # (N+1, m, m) precomputed inverses
+    Ad_ref: jnp.ndarray   # (N+1, d, d) precomputed Ad(q_ref)
+    xi_ref: jnp.ndarray   # (N+1, d)
+
+
+def tracking_cost_params(group: Group, Q, R, P, q_ref, xi_ref):
+    """Build params from the reference's stacked Q/R/P layout.
+
+    Q and P are (2d, 2d) with pose block first (ref traopt_cost.py:697-702).
+    """
+    d = group.dim
+    Q = jnp.asarray(Q)
+    P = jnp.asarray(P)
+    q_ref = jnp.asarray(q_ref)
+    xi_ref = jnp.asarray(xi_ref).reshape(q_ref.shape[0], d)
+    return TrackingCostParams(
+        Q1=Q[:d, :d], Q2=Q[d:, d:], R=jnp.asarray(R), P1=P[:d, :d], P2=P[d:, d:],
+        q_ref=q_ref, q_ref_inv=group.inverse(q_ref), Ad_ref=group.Ad(q_ref),
+        xi_ref=xi_ref,
+    )
+
+
+def tracking_cost(group: Group, nu: int) -> CostDef:
+    d = group.dim
+
+    def _err(p: TrackingCostParams, q, xi, i):
+        # left difference Log(X Xbar^-1)  (ref traopt_cost.py:695)
+        e = group.log(q @ p.q_ref_inv[i])
+        ev = xi - p.xi_ref[i]
+        return e, ev
+
+    def stage_cost(p, q, xi, u, i):
+        e, ev = _err(p, q, xi, i)
+        return (
+            jnp.einsum("...i,ij,...j->...", e, p.Q1, e)
+            + jnp.einsum("...i,ij,...j->...", ev, p.Q2, ev)
+            + jnp.einsum("...i,ij,...j->...", u, p.R, u)
+        )
+
+    def term_cost(p, q, xi, i):
+        e, ev = _err(p, q, xi, i)
+        return (
+            jnp.einsum("...i,ij,...j->...", e, p.P1, e)
+            + jnp.einsum("...i,ij,...j->...", ev, p.P2, ev)
+        )
+
+    def _quad(p, q, xi, i, W1, W2):
+        e, ev = _err(p, q, xi, i)
+        J_e_x = group.Jr_inv(e) @ p.Ad_ref[i]
+        JT2 = 2.0 * jnp.swapaxes(J_e_x, -1, -2)
+        lx = jnp.concatenate([_bmv(JT2 @ W1, e), 2.0 * _bmv(W2, ev)], axis=-1)
+        H_e = JT2 @ W1 @ J_e_x
+        H_v = jnp.broadcast_to(2.0 * W2, H_e.shape)
+        Z = jnp.zeros_like(H_e)
+        lxx = jnp.concatenate(
+            [jnp.concatenate([H_e, Z], axis=-1), jnp.concatenate([Z, H_v], axis=-1)],
+            axis=-2,
+        )
+        l = (
+            jnp.einsum("...i,ij,...j->...", e, W1, e)
+            + jnp.einsum("...i,ij,...j->...", ev, W2, ev)
+        )
+        return l, lx, lxx
+
+    def stage_quad(p, q, xi, u, i):
+        l, lx, lxx = _quad(p, q, xi, i, p.Q1, p.Q2)
+        l = l + jnp.einsum("...i,ij,...j->...", u, p.R, u)
+        lu = 2.0 * _bmv(p.R, u)
+        luu = jnp.broadcast_to(2.0 * p.R, (*lu.shape[:-1], nu, nu))
+        lux = jnp.zeros((*lu.shape[:-1], nu, 2 * d), dtype=lu.dtype)
+        return l, lx, lu, lxx, lux, luu
+
+    def term_quad(p, q, xi, i):
+        return _quad(p, q, xi, i, p.P1, p.P2)
+
+    return CostDef(
+        nx=2 * d, nu=nu, stage_cost=stage_cost, term_cost=term_cost,
+        stage_quad=stage_quad, term_quad=term_quad,
+    )
+
+
+def tracking_error(group: Group, p: TrackingCostParams, q, xi, i):
+    """Pose/velocity error vs the reference (ref `_err`, traopt_cost.py:659)."""
+    e = group.log(q @ p.q_ref_inv[i])
+    return e, xi - p.xi_ref[i]
+
+
+# ---------------------------------------------------------------------------
+# Augmented Lagrangian transformer  (ref ALConstrainedCost, traopt_cost.py:1173)
+# ---------------------------------------------------------------------------
+
+class ALParams(NamedTuple):
+    cost: TrackingCostParams
+    constr: NamedTuple
+    lmbd: jnp.ndarray  # (N+1, c)
+    Imu: jnp.ndarray   # (N+1, c, c)
+    mu: jnp.ndarray    # scalar penalty
+
+
+def al_cost(base: CostDef, constraint) -> CostDef:
+    """Wrap a cost with LA = l + lambda^T g + 1/2 g^T Imu g.
+
+    `constraint` is a ConstraintDef (models.constraints).  Derivative
+    composition follows traopt_cost.py:1251-1320 exactly.
+    """
+
+    def _terms(p: ALParams, q, xi, u, i, terminal):
+        g = constraint.g(p.constr, q, xi, u, i, terminal)
+        gx = constraint.g_x(p.constr, q, xi, u, i, terminal)
+        gu = constraint.g_u(p.constr, q, xi, u, i, terminal)
+        lam = p.lmbd[i]
+        Imu = p.Imu[i]
+        return g, gx, gu, lam, Imu
+
+    def stage_cost(p, q, xi, u, i):
+        g, _, _, lam, Imu = _terms(p, q, xi, u, i, False)
+        base_l = base.stage_cost(p.cost, q, xi, u, i)
+        return base_l + jnp.einsum("...c,...c->...", lam, g) + 0.5 * jnp.einsum(
+            "...c,...cd,...d->...", g, Imu, g
+        )
+
+    def term_cost(p, q, xi, i):
+        u = jnp.zeros(base.nu, dtype=xi.dtype)
+        g, _, _, lam, Imu = _terms(p, q, xi, u, i, True)
+        base_l = base.term_cost(p.cost, q, xi, i)
+        return base_l + jnp.einsum("...c,...c->...", lam, g) + 0.5 * jnp.einsum(
+            "...c,...cd,...d->...", g, Imu, g
+        )
+
+    def stage_quad(p, q, xi, u, i):
+        l0, lx0, lu0, lxx0, lux0, luu0 = base.stage_quad(p.cost, q, xi, u, i)
+        g, gx, gu, lam, Imu = _terms(p, q, xi, u, i, False)
+        lig = lam + _bmv(Imu, g)
+        gxT = jnp.swapaxes(gx, -1, -2)
+        guT = jnp.swapaxes(gu, -1, -2)
+        l = l0 + jnp.einsum("...c,...c->...", lam, g) + 0.5 * jnp.einsum(
+            "...c,...cd,...d->...", g, Imu, g
+        )
+        lx = lx0 + _bmv(gxT, lig)
+        lu = lu0 + _bmv(guT, lig)
+        lxx = lxx0 + gxT @ Imu @ gx
+        luu = luu0 + guT @ Imu @ gu
+        lux = lux0 + guT @ Imu @ gx
+        return l, lx, lu, lxx, lux, luu
+
+    def term_quad(p, q, xi, i):
+        u = jnp.zeros(base.nu, dtype=xi.dtype)
+        l0, lx0, lxx0 = base.term_quad(p.cost, q, xi, i)
+        g, gx, gu, lam, Imu = _terms(p, q, xi, u, i, True)
+        lig = lam + _bmv(Imu, g)
+        gxT = jnp.swapaxes(gx, -1, -2)
+        l = l0 + jnp.einsum("...c,...c->...", lam, g) + 0.5 * jnp.einsum(
+            "...c,...cd,...d->...", g, Imu, g
+        )
+        lx = lx0 + _bmv(gxT, lig)
+        lxx = lxx0 + gxT @ Imu @ gx
+        return l, lx, lxx
+
+    return CostDef(
+        nx=base.nx, nu=base.nu, stage_cost=stage_cost, term_cost=term_cost,
+        stage_quad=stage_quad, term_quad=term_quad,
+    )
+
+
+def al_init_params(cost_params, constr_params, N, constr_size, mu0=1e-2, dtype=jnp.float64):
+    """Initial AL state (ref AL_iLQR_Tracking_SE3_MS:3182-3189)."""
+    return ALParams(
+        cost=cost_params,
+        constr=constr_params,
+        lmbd=jnp.zeros((N + 1, constr_size), dtype=dtype),
+        Imu=jnp.tile(mu0 * jnp.eye(constr_size, dtype=dtype), (N + 1, 1, 1)),
+        mu=jnp.asarray(mu0, dtype=dtype),
+    )
+
+
+def al_update_params(p: ALParams, constr_eval, mu_scale=10.0, mu_max=1e8):
+    """First-order multiplier update + penalty escalation.
+
+    ref `_al_update_param` (traopt_controller.py:3270-3290):
+        lmbd <- clip(lmbd + Imu g, 0, inf)
+        mu   <- min(mu * scale, mu_max)
+        Imu  <- diag(where(g < 0 and lmbd == 0, 0, mu))
+    """
+    lmbd_new = jnp.clip(
+        p.lmbd + jnp.einsum("ncd,nd->nc", p.Imu, constr_eval), 0.0, None
+    )
+    mu_new = jnp.minimum(p.mu * mu_scale, mu_max)
+    active = jnp.where((constr_eval < 0.0) & (lmbd_new == 0.0), 0.0, mu_new)
+    c = constr_eval.shape[-1]
+    Imu_new = active[..., :, None] * jnp.eye(c, dtype=active.dtype)
+    return p._replace(lmbd=lmbd_new, Imu=Imu_new, mu=mu_new)

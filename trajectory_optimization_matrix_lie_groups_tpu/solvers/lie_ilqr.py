@@ -1,0 +1,561 @@
+"""Single- and multiple-shooting iLQR on matrix Lie groups, TPU-native.
+
+One generic engine replacing the reference's four per-group controllers
+(`iLQR_Tracking_SO3:526`, `iLQR_Tracking_SO3_MS:1029`,
+`iLQR_Tracking_SE3:1831`, `iLQR_Tracking_SE3_MS:2352` in
+`traoptlibrary/traopt_controller.py`), restructured for XLA:
+
+  - linearization + cost quadratization of ALL stages in one fused batched
+    call (the reference loops Python-serially over N manif calls,
+    `traopt_controller.py:2823`);
+  - the defect-aware Riccati backward pass as a `lax.scan` whose per-step
+    adaptive Levenberg-Marquardt retry (`traopt_controller.py:1639-1679`)
+    is a branchless `lax.while_loop` — numerically identical mu/delta
+    trajectory to the reference;
+  - the *linear* gap-closing rollout as a `lax.associative_scan` over affine
+    error maps (parallel prefix, O(log N) depth);
+  - the *nonlinear* group rollout as a `lax.scan` with the same
+    `q+ = q_next o Exp(a d) o f(x)^-1 o f(x_new)` composition as
+    `traopt_controller.py:2697-2726`;
+  - the backtracking line search evaluated for ALL step sizes at once
+    (vmap over the alpha ladder), selecting the first acceptable candidate —
+    same accept decision as the serial loop, constant wall-clock.
+
+Both a Python-driver `fit` (host callbacks, histories — the reference's
+observability contract) and a fully-jitted `solve` (`lax.while_loop`, zero
+host sync, for MPC/throughput) are provided, sharing one iteration kernel.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from trajectory_optimization_matrix_lie_groups_tpu.models.base import LieModel
+
+
+# ---------------------------------------------------------------------------
+# Configuration & state
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static solver options (hashable; part of the jit cache key).
+
+    Defaults replicate the reference SE(3) MS controller
+    (`traopt_controller.py:2386-2412`).
+    """
+
+    N: int
+    multiple_shooting: bool = True
+    line_search: bool = False
+    rollout: str = "nonlinear"          # 'linear' | 'nonlinear'
+    n_alphas: int = 20                   # alpha ladder 1.1**(-arange(n)**2)
+    mu_init: float = 1.0
+    mu_min: float = 1e-6
+    mu_max: float = 1e10
+    delta_0: float = 2.0
+    # multiple-shooting merit function constants (ref :2406-2410)
+    defect_mu0: float = 10.0
+    defect_rho: float = 0.5
+    defect_gamma: float = 0.05
+    defect_mu_min: float = 10.0
+    defect_kappa: float = 1e-12
+    # convergence tolerances (fit kwargs in the reference)
+    tol_J: float = 1e-6
+    tol_grad_norm: float = 1e-6
+    tol_d_norm: float = 1e-6
+    max_iterations: int = 100
+
+
+class SolverState(NamedTuple):
+    """Full solver state pytree (carried through the jitted iteration)."""
+
+    qs: jnp.ndarray        # (N+1, m, m)
+    xis: jnp.ndarray       # (N+1, d)
+    us: jnp.ndarray        # (N, nu)
+    k: jnp.ndarray         # (N, nu) feedforward gains
+    K: jnp.ndarray         # (N, nu, nx) feedback gains
+    mu: jnp.ndarray        # LM regularization
+    delta: jnp.ndarray     # LM schedule factor
+    d_weight: jnp.ndarray  # merit-function defect weight carry
+    J_opt: jnp.ndarray
+    grad_norm: jnp.ndarray
+    d_norm: jnp.ndarray
+    alpha: jnp.ndarray
+    iteration: jnp.ndarray
+    converged: jnp.ndarray
+    accepted: jnp.ndarray
+    failed: jnp.ndarray    # line search exhausted (MS+LS / SS)
+
+
+def alpha_ladder(n, dtype=jnp.float64):
+    """Backtracking candidates 1.1**(-arange(n)**2) (ref :118, :605, :2472)."""
+    i = jnp.arange(n, dtype=dtype)
+    return 1.1 ** (-(i * i))
+
+
+def _bmv(M, v):
+    return jnp.einsum("...ij,...j->...i", M, v)
+
+
+def _sym(M):
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
+def _is_pd(M):
+    """Cholesky-based PD check (ref `is_pos_def`, traopt_utilis.py:320)."""
+    L = jnp.linalg.cholesky(M)
+    return jnp.all(jnp.isfinite(L))
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+class LieILQR:
+    """iLQR/DDP on a matrix Lie group (SS and MS modes).
+
+    Construct once per (model, config); `fit`/`solve` jit on first call and
+    are pure in (params, state) thereafter.
+    """
+
+    def __init__(self, model: LieModel, config: SolverConfig):
+        self.model = model
+        self.cfg = config
+        self._iteration_jit = jax.jit(self._iteration)
+        self._solve_jit = jax.jit(self._solve_loop)
+        self._init_ms_jit = jax.jit(self._init_state_ms)
+        self._init_ss_jit = jax.jit(self._init_state_ss)
+
+    # -- state initialisation ------------------------------------------------
+
+    def init_state(self, params, x0, us_init, q_ref=None, xi_ref=None):
+        """MS: shooting nodes from the reference (ref `_initial_guess:3123`);
+        SS: nonlinear rollout of us_init (ref `_init_rollout:697`)."""
+        q0, xi0 = x0
+        us = jnp.asarray(us_init)
+        if self.cfg.multiple_shooting:
+            if q_ref is None:
+                q_ref = params["cost"].q_ref
+                xi_ref = params["cost"].xi_ref
+            return self._init_ms_jit(jnp.asarray(q0), jnp.asarray(xi0), us,
+                                     jnp.asarray(q_ref), jnp.asarray(xi_ref))
+        return self._init_ss_jit(params, jnp.asarray(q0), jnp.asarray(xi0), us)
+
+    def _blank_state(self, qs, xis, us):
+        cfg = self.cfg
+        dtype = us.dtype
+        nu = us.shape[-1]
+        nx = self.model.nx
+        f = lambda v: jnp.asarray(v, dtype=dtype)
+        return SolverState(
+            qs=qs, xis=xis, us=us,
+            k=jnp.zeros((cfg.N, nu), dtype=dtype),
+            K=jnp.zeros((cfg.N, nu, nx), dtype=dtype),
+            mu=f(cfg.mu_init), delta=f(cfg.delta_0), d_weight=f(cfg.defect_mu0),
+            J_opt=f(jnp.inf), grad_norm=f(jnp.inf), d_norm=f(jnp.inf),
+            alpha=f(1.0), iteration=jnp.asarray(0),
+            converged=jnp.asarray(False), accepted=jnp.asarray(False),
+            failed=jnp.asarray(False),
+        )
+
+    def _init_state_ms(self, q0, xi0, us, q_ref, xi_ref):
+        qs = jnp.concatenate([q0[None], q_ref[1:]], axis=0)
+        xis = jnp.concatenate([xi0[None], xi_ref[1:].reshape(-1, xi0.shape[-1])], axis=0)
+        return self._blank_state(qs, xis, us)
+
+    def _init_state_ss(self, params, q0, xi0, us):
+        def step(carry, inp):
+            q, xi = carry
+            u, i = inp
+            qn, xin = self.model.step(params, q, xi, u, i)
+            return (qn, xin), (qn, xin)
+
+        idx = jnp.arange(self.cfg.N)
+        _, (qs_tail, xis_tail) = lax.scan(step, (q0, xi0), (us, idx))
+        qs = jnp.concatenate([q0[None], qs_tail], axis=0)
+        xis = jnp.concatenate([xi0[None], xis_tail], axis=0)
+        return self._blank_state(qs, xis, us)
+
+    # -- building blocks -----------------------------------------------------
+
+    def _linearize(self, params, qs, xis, us):
+        """All-stage dynamics eval + Jacobians + cost quadratization (batched)."""
+        model = self.model
+        N = self.cfg.N
+        idx = jnp.arange(N)
+        q_s, xi_s = qs[:-1], xis[:-1]
+        fq, fxi = model.step(params, q_s, xi_s, us, idx)
+        Fx, Fu = model.jac(params, q_s, xi_s, us, idx)
+        L, Lx, Lu, Lxx, Lux, Luu = model.stage_quad(params, q_s, xi_s, us, idx)
+        LN, LNx, LNxx = model.term_quad(params, qs[-1], xis[-1], N)
+        # defect d_i = f(x_i, u_i) (-) x_{i+1}  (manif rminus; ref :1554-1563)
+        d_q = model.group.rminus(fq, qs[1:])
+        d_xi = fxi - xis[1:]
+        d = jnp.concatenate([d_q, d_xi], axis=-1)
+        L_all = jnp.concatenate([L, LN[None]])
+        Lx_all = jnp.concatenate([Lx, LNx[None]], axis=0)
+        Lxx_all = jnp.concatenate([Lxx, LNxx[None]], axis=0)
+        return dict(fq=fq, fxi=fxi, Fx=Fx, Fu=Fu, d=d, L=L_all, Lx=Lx_all,
+                    Lu=Lu, Lxx=Lxx_all, Lux=Lux, Luu=Luu)
+
+    def _backward(self, lin, mu, delta):
+        """Defect-aware Riccati recursion with the reference's per-step
+        adaptive LM schedule (ref `_backward_pass:1637-1694`)."""
+        cfg = self.cfg
+        nx = self.model.nx
+        d = lin["d"] if cfg.multiple_shooting else jnp.zeros_like(lin["d"])
+        eye = jnp.eye(nx, dtype=lin["Fx"].dtype)
+
+        def step(carry, inp):
+            Vx, Vxx, mu_c, delta_c, exceeded = carry
+            fx, fu, dd, lx, lu, lxx, lux, luu = inp
+            fxT = jnp.swapaxes(fx, -1, -2)
+            fuT = jnp.swapaxes(fu, -1, -2)
+            Vmod = Vx + _bmv(Vxx, dd)
+
+            def quu_of(m):
+                return luu + fuT @ (Vxx + m * eye) @ fu
+
+            # while-loop replicating :1639-1679: compute Q with current mu,
+            # escalate on PD failure, de-escalate-and-exit on success.
+            def cond(c):
+                return jnp.logical_not(c[3])
+
+            def body(c):
+                mu_q, mu_st, dlt, done, exc = c
+                Quu_try = quu_of(mu_q)
+                ok = _is_pd(Quu_try + jnp.swapaxes(Quu_try, -1, -2))
+                # success path: delta' = min(1,d)/d0 ; mu' = mu*delta' (->0 below floor)
+                dlt_dec = jnp.minimum(1.0, dlt) / cfg.delta_0
+                mu_dec = mu_q * dlt_dec
+                mu_dec = jnp.where(mu_dec <= cfg.mu_min, 0.0, mu_dec)
+                # failure path: delta' = max(1,d)*d0 ; mu' = max(mu_min, mu*delta')
+                dlt_inc = jnp.maximum(1.0, dlt) * cfg.delta_0
+                mu_inc = jnp.maximum(cfg.mu_min, mu_q * dlt_inc)
+                hit_max = mu_inc >= cfg.mu_max
+                new_mu_q = jnp.where(ok | hit_max, mu_q, mu_inc)
+                new_mu_st = jnp.where(ok, mu_dec, mu_inc)
+                new_dlt = jnp.where(ok, dlt_dec, dlt_inc)
+                return (new_mu_q, new_mu_st, new_dlt, ok | hit_max,
+                        exc | (hit_max & jnp.logical_not(ok)))
+
+            mu_q, mu_st, delta_n, _, exc = lax.while_loop(
+                cond, body, (mu_c, mu_c, delta_c, jnp.asarray(False), exceeded)
+            )
+
+            Vreg = Vxx + mu_q * eye
+            Qx = lx + _bmv(fxT, Vmod)
+            Qu = lu + _bmv(fuT, Vmod)
+            Qxx = lxx + fxT @ Vxx @ fx
+            Qux = lux + fuT @ Vreg @ fx
+            Quu = luu + fuT @ Vreg @ fu
+            k = -jnp.linalg.solve(Quu, Qu)
+            K = -jnp.linalg.solve(Quu, Qux)
+            QuxT = jnp.swapaxes(Qux, -1, -2)
+            KT = jnp.swapaxes(K, -1, -2)
+            Vx_new = Qx + _bmv(KT @ Quu, k) + _bmv(KT, Qu) + _bmv(QuxT, k)
+            Vxx_new = Qxx + KT @ Quu @ K + KT @ Qux + QuxT @ K
+            Vxx_new = _sym(Vxx_new)
+            return (Vx_new, Vxx_new, mu_st, delta_n, exc), (k, K, Vx, Vxx)
+
+        init = (lin["Lx"][-1], lin["Lxx"][-1], mu, delta, jnp.asarray(False))
+        inputs = (lin["Fx"], lin["Fu"], d, lin["Lx"][:-1], lin["Lu"],
+                  lin["Lxx"][:-1], lin["Lux"], lin["Luu"])
+        (Vx0, Vxx0, mu_out, delta_out, exceeded), (k, K, Vx_next, Vxx_next) = lax.scan(
+            step, init, inputs, reverse=True
+        )
+        # Vx_next[t] / Vxx_next[t] hold V at stage t+1 (the carry *into* step t).
+        return k, K, Vx_next, Vxx_next, mu_out, delta_out, exceeded
+
+    def _grad_norm_ms(self, lin, Vx_next, Vxx_next):
+        """g_t = L_u + F_u^T (V_x[t+1] + V_xx[t+1]^T d_t); mean 2-norm.
+        ref `_gradient_wrt_control:1758-1781` — batched, no recursion."""
+        d = lin["d"]
+        g = lin["Lu"] + _bmv(
+            jnp.swapaxes(lin["Fu"], -1, -2),
+            Vx_next + _bmv(jnp.swapaxes(Vxx_next, -1, -2), d),
+        )
+        return jnp.mean(jnp.linalg.norm(g, axis=-1))
+
+    def _grad_norm_ss(self, lin):
+        """Adjoint recursion gradient (ref `_gradient_wrt_control:1000-1026`)."""
+        def step(p, inp):
+            fx, fu, lx, lu = inp
+            g = lu + _bmv(jnp.swapaxes(fu, -1, -2), p)
+            p_new = lx + _bmv(jnp.swapaxes(fx, -1, -2), p)
+            return p_new, g
+
+        _, g = lax.scan(
+            step, lin["Lx"][-1],
+            (lin["Fx"], lin["Fu"], lin["Lx"][:-1], lin["Lu"]),
+            reverse=True,
+        )
+        return jnp.mean(jnp.linalg.norm(g, axis=-1))
+
+    def _traj_cost(self, params, qs, xis, us):
+        idx = jnp.arange(self.cfg.N)
+        L = self.model.stage_cost(params, qs[:-1], xis[:-1], us, idx)
+        LN = self.model.term_cost(params, qs[-1], xis[-1], self.cfg.N)
+        return jnp.sum(L) + LN
+
+    def _defect_norm(self, params, qs, xis, us):
+        idx = jnp.arange(self.cfg.N)
+        fq, fxi = self.model.step(params, qs[:-1], xis[:-1], us, idx)
+        d_q = self.model.group.rminus(fq, qs[1:])
+        d_xi = fxi - xis[1:]
+        d = jnp.concatenate([d_q, d_xi], axis=-1)
+        return jnp.linalg.norm(d.reshape(-1))
+
+    # -- rollouts ------------------------------------------------------------
+
+    def _rollout_linear(self, lin, state, alpha):
+        """Gap-closing linear rollout as an associative scan over affine maps.
+
+        The reference's serial loop (`_rollout` 'linear' branch,
+        traopt_controller.py:2720-2726) propagates
+            dx_{i+1} = F_x dx_i + F_u du_i + a d_i,  du_i = a k_i + K_i dx_i
+        which is an affine recursion; parallel prefix gives the same dx in
+        O(log N) depth.
+        """
+        g = self.model.group
+        d = lin["d"] if self.cfg.multiple_shooting else jnp.zeros_like(lin["d"])
+        Fx, Fu = lin["Fx"], lin["Fu"]
+        M = Fx + Fu @ state.K
+        c = alpha * (_bmv(Fu, state.k) + d)
+
+        def combine(e1, e2):
+            A1, b1 = e1
+            A2, b2 = e2
+            return A2 @ A1, _bmv(A2, b1) + b2
+
+        A_pref, b_pref = lax.associative_scan(combine, (M, c), axis=0)
+        dx = jnp.concatenate([jnp.zeros_like(b_pref[:1]), b_pref], axis=0)
+        us_err = alpha * state.k + _bmv(state.K, dx[:-1])
+        us_new = state.us + us_err
+        dim = g.dim
+        qs_new = g.rplus(state.qs, dx[:, :dim])
+        xis_new = state.xis + dx[:, dim:]
+        return qs_new, xis_new, us_new, dx, us_err
+
+    def _rollout_nonlinear(self, params, lin, state, alpha):
+        """Gap-closing nonlinear rollout (serial scan).
+
+        MS: q+ = q_next o Exp(a d_q) o f(x)^-1 o f(x_new)  (ref :2697-2718)
+        SS: x+ = f(x_new, u_new)                            (ref :751-758)
+        """
+        g = self.model.group
+        cfg = self.cfg
+        dim = g.dim
+        d = lin["d"]
+        exp_ad = g.exp(alpha * d[:, :dim])
+        fq_inv = g.inverse(lin["fq"])
+
+        def step(carry, inp):
+            q_new, xi_new = carry
+            (q, xi, q_next, xi_next, u, k_i, K_i, d_i, fxi_i, exp_ad_i,
+             fq_inv_i, i) = inp
+            xs_err = jnp.concatenate([g.rminus(q_new, q), xi_new - xi], axis=-1)
+            us_err = alpha * k_i + _bmv(K_i, xs_err)
+            u_new = u + us_err
+            fq_new, fxi_new = self.model.step(params, q_new, xi_new, u_new, i)
+            if cfg.multiple_shooting:
+                q_nn = q_next @ exp_ad_i @ fq_inv_i @ fq_new
+                xi_nn = xi_next + fxi_new - fxi_i + alpha * d_i[dim:]
+            else:
+                q_nn = fq_new
+                xi_nn = fxi_new
+            return (q_nn, xi_nn), (q_nn, xi_nn, u_new, xs_err, us_err)
+
+        idx = jnp.arange(cfg.N)
+        inputs = (state.qs[:-1], state.xis[:-1], state.qs[1:], state.xis[1:],
+                  state.us, state.k, state.K, d, lin["fxi"], exp_ad, fq_inv, idx)
+        (_, _), (qs_tail, xis_tail, us_new, xs_errs, us_errs) = lax.scan(
+            step, (state.qs[0], state.xis[0]), inputs
+        )
+        qs_new = jnp.concatenate([state.qs[:1], qs_tail], axis=0)
+        xis_new = jnp.concatenate([state.xis[:1], xis_tail], axis=0)
+        term_err = jnp.concatenate(
+            [g.rminus(qs_new[-1], state.qs[-1]), xis_new[-1] - state.xis[-1]],
+            axis=-1,
+        )
+        xs_errs = jnp.concatenate([xs_errs, term_err[None]], axis=0)
+        return qs_new, xis_new, us_new, xs_errs, us_errs
+
+    def _rollout(self, params, lin, state, alpha, mode=None):
+        mode = mode or self.cfg.rollout
+        if mode == "linear":
+            qs, xis, us, dx, us_err = self._rollout_linear(lin, state, alpha)
+            # align xs_errs layout with the nonlinear path ((N+1, nx))
+            return qs, xis, us, dx, us_err
+        return self._rollout_nonlinear(params, lin, state, alpha)
+
+    def _expected_cost_change(self, lin, xs_errs, us_errs):
+        """ref `_expected_cost_change:2756-2769` (alpha = 1 probe)."""
+        first = jnp.sum(jnp.einsum("ni,ni->n", lin["Lx"][:-1], xs_errs[:-1])) + jnp.sum(
+            jnp.einsum("ni,ni->n", lin["Lu"], us_errs)
+        ) + jnp.dot(lin["Lx"][-1], xs_errs[-1])
+        second = (
+            jnp.sum(jnp.einsum("ni,nij,nj->n", xs_errs[:-1], lin["Lxx"][:-1], xs_errs[:-1]))
+            + jnp.sum(jnp.einsum("ni,nij,nj->n", us_errs, lin["Luu"], us_errs))
+            + 2.0 * jnp.sum(jnp.einsum("ni,nij,nj->n", us_errs, lin["Lux"], xs_errs[:-1]))
+            + jnp.einsum("i,ij,j->", xs_errs[-1], lin["Lxx"][-1], xs_errs[-1])
+        )
+        return first, second
+
+    # -- one iteration -------------------------------------------------------
+
+    def _iteration(self, params, state: SolverState) -> SolverState:
+        cfg = self.cfg
+        lin = self._linearize(params, state.qs, state.xis, state.us)
+        d_norm = jnp.linalg.norm(lin["d"].reshape(-1))
+        J_opt = jnp.sum(lin["L"])
+
+        if cfg.multiple_shooting:
+            k, K, Vx_n, Vxx_n, mu_new, delta_new, exceeded = self._backward(
+                lin, state.mu, state.delta
+            )
+            grad_norm = self._grad_norm_ms(lin, Vx_n, Vxx_n)
+            converged = (grad_norm < cfg.tol_grad_norm) & (d_norm < cfg.tol_d_norm)
+        else:
+            # SS checks convergence *before* the backward pass (ref :633-638)
+            grad_norm = self._grad_norm_ss(lin)
+            converged = grad_norm < cfg.tol_grad_norm
+            k, K, Vx_n, Vxx_n, mu_new, delta_new, exceeded = self._backward(
+                lin, state.mu, state.delta
+            )
+
+        probe_state = state._replace(k=k, K=K)
+        alphas = alpha_ladder(cfg.n_alphas, dtype=state.us.dtype)
+
+        if cfg.multiple_shooting and cfg.line_search:
+            # merit-function line search (ref :2549-2590)
+            _, _, _, xs_errs_p, us_errs_p = self._rollout(
+                params, lin, probe_state, jnp.asarray(1.0, state.us.dtype),
+                mode="linear",
+            )
+            ecc1, ecc2 = self._expected_cost_change(lin, xs_errs_p, us_errs_p)
+            d_weight = jnp.where(
+                d_norm < cfg.defect_kappa,
+                state.d_weight,
+                jnp.maximum(
+                    cfg.defect_mu_min,
+                    cfg.defect_mu0
+                    + jnp.abs(ecc1 + 0.5 * ecc2) / ((1.0 - cfg.defect_rho) * d_norm),
+                ),
+            )
+            merit = J_opt + d_weight * d_norm
+
+            def candidate(alpha):
+                qs_c, xis_c, us_c, _, _ = self._rollout(params, lin, probe_state, alpha)
+                J_c = self._traj_cost(params, qs_c, xis_c, us_c)
+                dn_c = self._defect_norm(params, qs_c, xis_c, us_c)
+                return qs_c, xis_c, us_c, J_c, dn_c
+
+            qs_a, xis_a, us_a, J_a, dn_a = jax.vmap(candidate)(alphas)
+            J_exp = alphas * ecc1 + 0.5 * alphas**2 * ecc2
+            merit_a = J_a + d_weight * dn_a
+            ok_a = (merit_a - merit) < cfg.defect_gamma * (
+                J_exp - alphas * d_weight * d_norm
+            )
+            idx_first = jnp.argmax(ok_a)
+            accepted = jnp.any(ok_a)
+            sel = lambda arr: arr[idx_first]
+            qs_new, xis_new, us_new = sel(qs_a), sel(xis_a), sel(us_a)
+            J_new, dn_new, alpha_used = sel(J_a), sel(dn_a), alphas[idx_first]
+            failed_now = jnp.logical_not(accepted)
+        elif cfg.multiple_shooting:
+            # no line search: single alpha = 1 rollout, always accepted
+            # (ref :2592-2600)
+            one = jnp.asarray(1.0, state.us.dtype)
+            qs_new, xis_new, us_new, _, _ = self._rollout(params, lin, probe_state, one)
+            J_new = self._traj_cost(params, qs_new, xis_new, us_new)
+            dn_new = self._defect_norm(params, qs_new, xis_new, us_new)
+            d_weight = state.d_weight
+            alpha_used = one
+            accepted = jnp.asarray(True)
+            failed_now = jnp.asarray(False)
+        else:
+            # SS backtracking: accept first alpha with J_new < J_opt (ref :654-672)
+            def candidate(alpha):
+                qs_c, xis_c, us_c, _, _ = self._rollout(params, lin, probe_state, alpha)
+                J_c = self._traj_cost(params, qs_c, xis_c, us_c)
+                return qs_c, xis_c, us_c, J_c
+
+            qs_a, xis_a, us_a, J_a = jax.vmap(candidate)(alphas)
+            ok_a = J_a < J_opt
+            idx_first = jnp.argmax(ok_a)
+            accepted = jnp.any(ok_a)
+            sel = lambda arr: arr[idx_first]
+            qs_new, xis_new, us_new, J_new = sel(qs_a), sel(xis_a), sel(us_a), sel(J_a)
+            dn_new = jnp.asarray(0.0, state.us.dtype)
+            d_weight = state.d_weight
+            alpha_used = alphas[idx_first]
+            failed_now = jnp.logical_not(accepted)
+
+        # On convergence the reference breaks before the rollout: keep old
+        # trajectory.  On non-acceptance keep old trajectory too.
+        take_new = jnp.logical_and(
+            jnp.logical_not(converged), jnp.logical_and(accepted, True)
+        )
+        pick = lambda new, old: jnp.where(take_new, new, old)
+        return SolverState(
+            qs=pick(qs_new, state.qs),
+            xis=pick(xis_new, state.xis),
+            us=pick(us_new, state.us),
+            k=k, K=K, mu=mu_new, delta=delta_new, d_weight=d_weight,
+            J_opt=jnp.where(take_new, J_new, J_opt),
+            grad_norm=grad_norm,
+            d_norm=jnp.where(take_new, dn_new, d_norm),
+            alpha=alpha_used,
+            iteration=state.iteration + 1,
+            converged=converged,
+            accepted=accepted & jnp.logical_not(converged),
+            failed=failed_now & jnp.logical_not(converged),
+        )
+
+    # -- drivers -------------------------------------------------------------
+
+    def fit(self, params, x0, us_init, n_iterations=None, on_iteration=None,
+            q_ref=None, xi_ref=None, state: Optional[SolverState] = None):
+        """Python-driver solve with host-visible per-iteration callbacks.
+
+        Mirrors the reference `fit` observability contract
+        (`traopt_controller.py:2443-2639`): returns (xs, us, J_hist, grad_hist,
+        defect_hist) plus the final SolverState.
+        """
+        n_iterations = n_iterations or self.cfg.max_iterations
+        if state is None:
+            state = self.init_state(params, x0, us_init, q_ref, xi_ref)
+        J_hist, grad_hist, defect_hist = [], [], []
+        for _ in range(n_iterations):
+            state = self._iteration_jit(params, state)
+            J_hist.append(float(state.J_opt))
+            grad_hist.append(float(state.grad_norm))
+            defect_hist.append(float(state.d_norm))
+            if on_iteration is not None:
+                on_iteration(state)
+            if bool(state.converged) or bool(state.failed):
+                break
+        return (state.qs, state.xis), state.us, J_hist, grad_hist, defect_hist, state
+
+    def _solve_loop(self, params, state: SolverState):
+        cfg = self.cfg
+
+        def cond(s):
+            return (
+                (s.iteration < cfg.max_iterations)
+                & jnp.logical_not(s.converged)
+                & jnp.logical_not(s.failed)
+            )
+
+        return lax.while_loop(cond, lambda s: self._iteration(params, s), state)
+
+    def solve(self, params, x0, us_init, q_ref=None, xi_ref=None):
+        """Fully-jitted solve (no host sync per iteration) — the MPC path."""
+        state = self.init_state(params, x0, us_init, q_ref, xi_ref)
+        return self._solve_jit(params, state)
