@@ -65,7 +65,7 @@ def test_se3_jacobians(seed):
         [jnp.diag(jnp.array([0.5, 0.7, 0.9])), jnp.zeros((3, 3))],
         [jnp.zeros((3, 3)), 1.0 * jnp.eye(3)],
     ])
-    p = dyn.se3_params(J, 0.004)
+    p = dyn.se3_params(J, 0.004, ref_coad_swap=False)
     q, xi, ku = _rand_state(jax.random.PRNGKey(seed), SE3)
     u = jax.random.normal(ku, (6,))
     Fx, Fu = dyn._se3_jac(p, q, xi, u, 0)
@@ -93,7 +93,7 @@ def test_rigid_body_exact_gravity_jacobian():
         [jnp.diag(jnp.array([0.5, 0.7, 0.9])), jnp.zeros((3, 3))],
         [jnp.zeros((3, 3)), 2.0 * jnp.eye(3)],
     ])
-    p = dyn.rigid_body_params(J, 0.01, exact_gravity_jacobian=True)
+    p = dyn.rigid_body_params(J, 0.01, exact_gravity_jacobian=True, ref_coad_swap=False)
     q, xi, ku = _rand_state(jax.random.PRNGKey(3), SE3)
     u = jax.random.normal(ku, (6,))
     Fx, Fu = dyn._rigid_body_jac(p, q, xi, u, 0)
@@ -127,7 +127,7 @@ def test_drone_input_projection():
         [jnp.diag(jnp.array([0.5, 0.7, 0.9])), jnp.zeros((3, 3))],
         [jnp.zeros((3, 3)), 1.5 * jnp.eye(3)],
     ])
-    p = dyn.drone_params(J, 0.004, exact_gravity_jacobian=True)
+    p = dyn.drone_params(J, 0.004, exact_gravity_jacobian=True, ref_coad_swap=False)
     q, xi, ku = _rand_state(jax.random.PRNGKey(5), SE3)
     u = jax.random.normal(ku, (4,))
     Fx, Fu = dyn._rigid_body_jac(p, q, xi, u, 0)
@@ -137,6 +137,24 @@ def test_drone_input_projection():
     )
     np.testing.assert_allclose(Fx, Fx_ad, atol=1e-8)
     np.testing.assert_allclose(Fu, Fu_ad, atol=1e-8)
+
+
+def test_ref_coad_swap_quirk():
+    """ref_coad_swap=True reproduces the reference's f_x quirk
+    (traopt_dynamics.py:819,832): H built from coad of the [v, w]-swapped
+    twist.  Verified against the stored benchmark gradient in
+    test_parity_se3; here just check the two modes differ only in the
+    velocity-velocity block."""
+    J = jnp.block([
+        [jnp.diag(jnp.array([0.5, 0.7, 0.9])), jnp.zeros((3, 3))],
+        [jnp.zeros((3, 3)), 1.0 * jnp.eye(3)],
+    ])
+    q, xi, ku = _rand_state(jax.random.PRNGKey(11), SE3)
+    u = jnp.zeros(6)
+    Fx_ref, _ = dyn._se3_jac(dyn.se3_params(J, 0.004, ref_coad_swap=True), q, xi, u, 0)
+    Fx_ex, _ = dyn._se3_jac(dyn.se3_params(J, 0.004, ref_coad_swap=False), q, xi, u, 0)
+    np.testing.assert_allclose(np.asarray(Fx_ref[:6]), np.asarray(Fx_ex[:6]), atol=1e-14)
+    assert np.abs(np.asarray(Fx_ref[6:, 6:]) - np.asarray(Fx_ex[6:, 6:])).max() > 1e-6
 
 
 def test_batched_equals_single():

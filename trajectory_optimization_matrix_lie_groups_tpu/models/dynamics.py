@@ -16,13 +16,26 @@ tangent space (no autodiff at solve time) and broadcast over leading batch
 dims, so one `vmap` covers the whole horizon in a single fused XLA call
 instead of the reference's N-per-iteration manif round-trips.
 
-Parity note (documented deviation faithfully replicated): the reference's
-gravity Jacobian block omits the `m*g` scale factor
-(`traopt_dynamics.py:1121-1134` builds `J_v_R` from the unit down-vector
-action only).  Because matching the reference's converged controls requires
-matching the fixed point of *its* iteration, `rigid_body`/`drone` expose
-`exact_gravity_jacobian=False` (default) reproducing the reference, and
-`True` for the mathematically exact block.
+Parity notes (reference quirks faithfully replicated, each behind a flag,
+because matching the reference's converged controls requires matching the
+fixed point of *its* iteration):
+
+1. `ref_coad_swap` (default True): the reference's SE(3)-family `f_x`
+   converts the twist to a manif tangent (`se32manifse3`, coeffs ordered
+   ``[v, omega]``) and then feeds ``xi.coeffs()`` into its own
+   ``coadjoint`` helper which expects ``[omega, v]``
+   (`traopt_dynamics.py:819,832` — likewise `:1111,1140` and `:1435,1464`).
+   The velocity-coupling block H is therefore built from the coadjoint of
+   the *swapped* twist.  The dynamics step itself is unaffected (it uses the
+   raw ``[omega, v]`` vector, `:785`).  Verified: with the swap, our
+   initial-trajectory gradient matches the reference's stored
+   `grad_hist[0]` to 13 significant digits; without it, to only 3.
+   Set False for the mathematically exact Jacobian.
+
+2. `exact_gravity_jacobian` (default False = reference-compatible): the
+   reference's gravity Jacobian block omits the `m*g` scale factor
+   (`traopt_dynamics.py:1121-1134` builds `J_v_R` from the unit down-vector
+   action only).  True gives the exact block.
 """
 
 from typing import NamedTuple
@@ -67,7 +80,7 @@ def _so3_step(p: SO3Params, q, xi, u, i):
     # q_next = q . Exp(xi dt);  xi_next = xi + Jinv(ad(xi)^T J xi + u) dt
     # ref traopt_dynamics.py:369-380
     del i
-    q_next = q @ so3.exp(xi * p.dt)
+    q_next = so3.normalize(q @ so3.exp(xi * p.dt))
     torque = _bmv(jnp.swapaxes(so3.hat(xi), -1, -2), _bmv(p.J, xi)) + u
     xi_next = xi + _bmv(p.Jinv, torque) * p.dt
     return q_next, xi_next
@@ -127,7 +140,7 @@ def _pendulum3d_step(p: Pendulum3dParams, q, xi, u, i):
     g_term = _bmv(so3.hat(p.m * p.g * rho), _bmv(Rt, down))
     M = _bmv(so3.hat(p.m * rho), _bmv(Rt, u))
     torque = _bmv(jnp.swapaxes(so3.hat(xi), -1, -2), _bmv(p.J, xi)) + g_term + M
-    q_next = q @ so3.exp(xi * p.dt)
+    q_next = so3.normalize(q @ so3.exp(xi * p.dt))
     xi_next = xi + _bmv(p.Jinv, torque) * p.dt
     return q_next, xi_next
 
@@ -169,12 +182,14 @@ class SE3Params(NamedTuple):
     Ib: jnp.ndarray    # (3, 3)
     m: jnp.ndarray     # scalar mass
     dt: jnp.ndarray
+    ref_coad_swap: jnp.ndarray  # bool: replicate the reference f_x quirk (#1)
 
 
-def se3_params(J, dt):
+def se3_params(J, dt, ref_coad_swap=True):
     J = jnp.asarray(J)
     return SE3Params(
-        J=J, Jinv=jnp.linalg.inv(J), Ib=J[:3, :3], m=J[4, 4], dt=jnp.asarray(dt)
+        J=J, Jinv=jnp.linalg.inv(J), Ib=J[:3, :3], m=J[4, 4], dt=jnp.asarray(dt),
+        ref_coad_swap=jnp.asarray(ref_coad_swap),
     )
 
 
@@ -183,11 +198,21 @@ def _se3_wrench_free(p, xi, u):
 
 
 def _se3_step(p: SE3Params, q, xi, u, i):
-    # ref traopt_dynamics.py:763-787
+    # ref traopt_dynamics.py:763-787.  The reference routes the pose through
+    # manif (quaternion) objects, which renormalizes the rotation at every
+    # step; `se3.normalize` mirrors that (without it, orthogonality drift
+    # accumulates over solver iterations and destabilizes the MS defect
+    # feedback).
     del i
-    q_next = q @ se3.exp(xi * p.dt)
+    q_next = se3.normalize(q @ se3.exp(xi * p.dt))
     xi_next = xi + _bmv(p.Jinv, _se3_wrench_free(p, xi, u)) * p.dt
     return q_next, xi_next
+
+
+def _coad_for_jac(p, xi):
+    """coad(xi) for the H block, with the reference's omega/v swap quirk."""
+    xi_sw = jnp.concatenate([xi[..., 3:], xi[..., :3]], axis=-1)
+    return jnp.where(p.ref_coad_swap, se3.coad(xi_sw), se3.coad(xi))
 
 
 def _se3_G(p, xi):
@@ -210,7 +235,7 @@ def _se3_jac(p: SE3Params, q, xi, u, i):
     # ref traopt_dynamics.py:802-850
     del q, u, i
     J_q_q, J_q_xi = _se3_pose_blocks(p, xi)
-    H = p.Jinv @ (se3.coad(xi) @ p.J + _se3_G(p, xi))
+    H = p.Jinv @ (_coad_for_jac(p, xi) @ p.J + _se3_G(p, xi))
     eye6 = jnp.broadcast_to(jnp.eye(6, dtype=xi.dtype), H.shape)
     Z = jnp.zeros_like(H)
     Fx = _blk2(J_q_q, J_q_xi, Z, eye6 + H * p.dt)
@@ -236,9 +261,11 @@ class RigidBodyParams(NamedTuple):
     dt: jnp.ndarray
     Pu: jnp.ndarray            # (6, nu) input projection (identity for 6-input)
     exact_gravity_jacobian: jnp.ndarray  # bool scalar
+    ref_coad_swap: jnp.ndarray           # bool: replicate the reference f_x quirk (#1)
 
 
-def rigid_body_params(J, dt, g=9.8, Pu=None, exact_gravity_jacobian=False):
+def rigid_body_params(J, dt, g=9.8, Pu=None, exact_gravity_jacobian=False,
+                      ref_coad_swap=True):
     J = jnp.asarray(J)
     if Pu is None:
         Pu = jnp.eye(6, dtype=J.dtype)
@@ -246,6 +273,7 @@ def rigid_body_params(J, dt, g=9.8, Pu=None, exact_gravity_jacobian=False):
         J=J, Jinv=jnp.linalg.inv(J), Ib=J[:3, :3], m=J[4, 4], g=jnp.asarray(g),
         dt=jnp.asarray(dt), Pu=jnp.asarray(Pu),
         exact_gravity_jacobian=jnp.asarray(exact_gravity_jacobian),
+        ref_coad_swap=jnp.asarray(ref_coad_swap),
     )
 
 
@@ -260,7 +288,7 @@ def _rigid_body_step(p: RigidBodyParams, q, xi, u, i):
     # ref traopt_dynamics.py:1049-1077 (and DroneDynamics :1373 via Pu)
     del i
     wrench = _bmv(se3.coad(xi), _bmv(p.J, xi)) + _gravity_wrench(p, q) + _bmv(p.Pu, u)
-    q_next = q @ se3.exp(xi * p.dt)
+    q_next = se3.normalize(q @ se3.exp(xi * p.dt))
     xi_next = xi + _bmv(p.Jinv, wrench) * p.dt
     return q_next, xi_next
 
@@ -271,7 +299,7 @@ def _rigid_body_jac(p: RigidBodyParams, q, xi, u, i):
     # unless exact_gravity_jacobian.
     del u, i
     J_q_q, J_q_xi = _se3_pose_blocks(p, xi)
-    H = p.Jinv @ (se3.coad(xi) @ p.J + _se3_G(p, xi))
+    H = p.Jinv @ (_coad_for_jac(p, xi) @ p.J + _se3_G(p, xi))
     down = jnp.asarray(_DOWN, dtype=q.dtype)
     R = q[..., :3, :3]
     J_v_R = so3.hat(_bmv(jnp.swapaxes(R, -1, -2), down))
@@ -290,7 +318,7 @@ def rigid_body_dynamics():
     return DynamicsDef(group=SE3, nx=12, nu=6, step=_rigid_body_step, jac=_rigid_body_jac)
 
 
-def drone_params(J, dt, g=9.8, exact_gravity_jacobian=False):
+def drone_params(J, dt, g=9.8, exact_gravity_jacobian=False, ref_coad_swap=True):
     """Drone = rigid body + 6x4 projection (3 torques + z-thrust).
 
     ref DroneDynamics.__init__ (traopt_dynamics.py:1250-1258).
@@ -299,7 +327,8 @@ def drone_params(J, dt, g=9.8, exact_gravity_jacobian=False):
     Pu = jnp.zeros((6, 4), dtype=J.dtype)
     Pu = Pu.at[0, 0].set(1.0).at[1, 1].set(1.0).at[2, 2].set(1.0).at[5, 3].set(1.0)
     return rigid_body_params(J, dt, g=g, Pu=Pu,
-                             exact_gravity_jacobian=exact_gravity_jacobian)
+                             exact_gravity_jacobian=exact_gravity_jacobian,
+                             ref_coad_swap=ref_coad_swap)
 
 
 def drone_dynamics():

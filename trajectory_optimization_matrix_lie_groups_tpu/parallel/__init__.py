@@ -1,0 +1,6 @@
+"""Device-mesh batch solving (the framework's primary scaling axis)."""
+
+from trajectory_optimization_matrix_lie_groups_tpu.parallel.batch import (  # noqa: F401
+    BatchSolver,
+    make_batch_mesh,
+)

@@ -364,7 +364,9 @@ class LieILQR:
             u_new = u + us_err
             fq_new, fxi_new = self.model.step(params, q_new, xi_new, u_new, i)
             if cfg.multiple_shooting:
-                q_nn = q_next @ exp_ad_i @ fq_inv_i @ fq_new
+                # normalize mirrors the reference's manif round-trips in this
+                # composition chain (traopt_controller.py:2713-2715)
+                q_nn = g.normalize(q_next @ exp_ad_i @ fq_inv_i @ fq_new)
                 xi_nn = xi_next + fxi_new - fxi_i + alpha * d_i[dim:]
             else:
                 q_nn = fq_new
