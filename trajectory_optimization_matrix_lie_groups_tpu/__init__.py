@@ -21,4 +21,12 @@ dimensions and dtype-polymorphic (f32/f64 follows the inputs).
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# iLQR on 6-12 dim systems is small dense linear algebra: the TPU MXU's
+# default bf16-pass matmul precision destroys the Riccati recursion (observed
+# f32-vs-f64 control error jumping from 6e-4 to ~40 with the default).  Full
+# f32 precision costs nothing at these sizes.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from trajectory_optimization_matrix_lie_groups_tpu import ops  # noqa: F401

@@ -62,7 +62,16 @@ def tracking_cost_params(group: Group, Q, R, P, q_ref, xi_ref):
     )
 
 
-def tracking_cost(group: Group, nu: int) -> CostDef:
+def tracking_cost(group: Group, nu: int, ref_so3_terminal_quirk: bool = False) -> CostDef:
+    """Gauss-Newton tracking cost.
+
+    `ref_so3_terminal_quirk` replicates the reference SO(3) cost class's
+    terminal inconsistency (`SO3TrackingQuadraticGaussNewtonCost`,
+    traopt_cost.py:433-438 and :477-487 vs :526-531): the terminal *value*
+    and *gradient* use the stage weights Q, while the terminal *Hessian*
+    uses P.  The SE(3) class (traopt_cost.py:709-738, :781-786) uses P
+    consistently, so the flag is only set for SO(3)-family parity builds.
+    """
     d = group.dim
 
     def _err(p: TrackingCostParams, q, xi, i):
@@ -81,9 +90,10 @@ def tracking_cost(group: Group, nu: int) -> CostDef:
 
     def term_cost(p, q, xi, i):
         e, ev = _err(p, q, xi, i)
+        W1, W2 = (p.Q1, p.Q2) if ref_so3_terminal_quirk else (p.P1, p.P2)
         return (
-            jnp.einsum("...i,ij,...j->...", e, p.P1, e)
-            + jnp.einsum("...i,ij,...j->...", ev, p.P2, ev)
+            jnp.einsum("...i,ij,...j->...", e, W1, e)
+            + jnp.einsum("...i,ij,...j->...", ev, W2, ev)
         )
 
     def _quad(p, q, xi, i, W1, W2):
@@ -113,7 +123,12 @@ def tracking_cost(group: Group, nu: int) -> CostDef:
         return l, lx, lu, lxx, lux, luu
 
     def term_quad(p, q, xi, i):
-        return _quad(p, q, xi, i, p.P1, p.P2)
+        if not ref_so3_terminal_quirk:
+            return _quad(p, q, xi, i, p.P1, p.P2)
+        # quirk: value+gradient from Q, Hessian from P (see docstring)
+        l, lx, _ = _quad(p, q, xi, i, p.Q1, p.Q2)
+        _, _, lxx = _quad(p, q, xi, i, p.P1, p.P2)
+        return l, lx, lxx
 
     return CostDef(
         nx=2 * d, nu=nu, stage_cost=stage_cost, term_cost=term_cost,
