@@ -1,0 +1,41 @@
+"""Closed-loop MPC on the SE(3) drone-racing path (fully jitted scan)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from trajectory_optimization_matrix_lie_groups_tpu.models import costs as costs_m
+from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import LieILQR
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.mpc import make_closed_loop
+from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import build_benchmark
+
+
+@pytest.mark.parity
+def test_closed_loop_mpc_tracks_path():
+    data, solver_full, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    cp_full = params["cost"]
+    H, T = 30, 100
+    cfg = dataclasses.replace(
+        solver_full.cfg, N=H, tol_grad_norm=0.0, tol_d_norm=0.0, max_iterations=4
+    )
+    solver = LieILQR(solver_full.model, cfg)
+    run = make_closed_loop(solver, T)
+
+    # start near the path (MPC regime)
+    q0 = SE3.normalize(cp_full.q_ref[0] @ SE3.exp(
+        jnp.asarray([0.05, -0.03, 0.08, 0.2, -0.1, 0.1])))
+    xi0 = cp_full.xi_ref[0] + 0.1
+    res = run(params, q0, xi0)
+
+    assert res.us.shape == (T, 6)
+    assert bool(jnp.all(jnp.isfinite(res.us)))
+    # closed-loop tracking error must shrink vs the initial offset
+    e0 = SE3.log(q0 @ SE3.inverse(cp_full.q_ref[0]))
+    eT = SE3.log(res.qs[-1] @ SE3.inverse(cp_full.q_ref[T]))
+    assert float(jnp.linalg.norm(eT)) < 0.5 * float(jnp.linalg.norm(e0)), (
+        f"e0={np.asarray(e0)}, eT={np.asarray(eT)}"
+    )

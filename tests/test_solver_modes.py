@@ -1,0 +1,42 @@
+"""Solver-mode coverage: merit line search, linear (associative-scan)
+rollout — both must reach the same stationary point as the default path."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import LieILQR
+from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import build_benchmark
+
+
+@pytest.mark.parity
+def test_ms_line_search_same_solution():
+    """MS + merit line search (main_SO3ddp_tracking_exact_ms.py:145-149 uses
+    line_search=True) must converge to the same controls as the accept-all
+    path on the SO3 tracking benchmark."""
+    data, solver, params, x0, us0, sol_key = build_benchmark("so3_tracking", True)
+    cfg_ls = dataclasses.replace(solver.cfg, line_search=True)
+    solver_ls = LieILQR(solver.model, cfg_ls)
+    (_, _), us_ls, J_hist, grad_hist, _, st = solver_ls.fit(params, x0, us0)
+    assert bool(st.converged), f"LS run failed to converge: grad {grad_hist[-1]}"
+    us_ref = np.asarray(data[sol_key]["us"])
+    err = np.max(np.abs(np.asarray(us_ls) - us_ref))
+    assert err < 1e-4, f"line-search solution off by {err:.3e}"
+
+
+@pytest.mark.parity
+def test_ms_linear_rollout_same_solution():
+    """MS + linear gap-closing rollout (lax.associative_scan) must converge
+    to the same controls (the reference's 'linear' mode,
+    traopt_controller.py:2720-2726)."""
+    data, solver, params, x0, us0, sol_key = build_benchmark("so3_tracking", True)
+    cfg_lin = dataclasses.replace(solver.cfg, rollout="linear")
+    solver_lin = LieILQR(solver.model, cfg_lin)
+    (_, _), us_lin, J_hist, grad_hist, _, st = solver_lin.fit(params, x0, us0)
+    assert bool(st.converged)
+    us_ref = np.asarray(data[sol_key]["us"])
+    err = np.max(np.abs(np.asarray(us_lin) - us_ref))
+    assert err < 1e-4, f"linear-rollout solution off by {err:.3e}"
