@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from trajectory_optimization_matrix_lie_groups_tpu.models.base import LieModel
+from trajectory_optimization_matrix_lie_groups_tpu.solvers import riccati
 
 
 # ---------------------------------------------------------------------------
@@ -64,6 +65,10 @@ class SolverConfig:
     defect_gamma: float = 0.05
     defect_mu_min: float = 10.0
     defect_kappa: float = 1e-12
+    # backward pass: 'sequential' replicates the reference's per-step adaptive
+    # LM schedule exactly; 'associative' is the O(log N)-depth parallel-prefix
+    # Riccati (fixed mu, solvers/riccati.py) for throughput/MPC builds.
+    backward: str = "sequential"
     # convergence tolerances (fit kwargs in the reference)
     tol_J: float = 1e-6
     tol_grad_norm: float = 1e-6
@@ -204,6 +209,16 @@ class LieILQR:
                     Lu=Lu, Lxx=Lxx_all, Lux=Lux, Luu=Luu)
 
     def _backward(self, lin, mu, delta):
+        cfg = self.cfg
+        if cfg.backward == "associative":
+            d = lin["d"] if cfg.multiple_shooting else jnp.zeros_like(lin["d"])
+            k, K, Vx_n, Vxx_n = riccati.parallel_backward(
+                lin["Fx"], lin["Fu"], d, lin["Lx"], lin["Lu"], lin["Lxx"],
+                lin["Lux"], lin["Luu"], mu=0.0)
+            return k, K, Vx_n, Vxx_n, mu, delta, jnp.asarray(False)
+        return self._backward_sequential(lin, mu, delta)
+
+    def _backward_sequential(self, lin, mu, delta):
         """Defect-aware Riccati recursion with the reference's per-step
         adaptive LM schedule (ref `_backward_pass:1637-1694`)."""
         cfg = self.cfg
