@@ -40,3 +40,29 @@ def test_ms_linear_rollout_same_solution():
     us_ref = np.asarray(data[sol_key]["us"])
     err = np.max(np.abs(np.asarray(us_lin) - us_ref))
     assert err < 1e-4, f"linear-rollout solution off by {err:.3e}"
+
+
+@pytest.mark.parity
+def test_ms_fixed_mu_backward_same_solution():
+    """Throughput mode (fixed-mu sequential Riccati) must reach the same
+    stationary point on the SO3 tracking benchmark."""
+    data, solver, params, x0, us0, sol_key = build_benchmark("so3_tracking", True)
+    cfg_f = dataclasses.replace(solver.cfg, backward="sequential_fixed")
+    solver_f = LieILQR(solver.model, cfg_f)
+    (_, _), us_f, J_hist, grad_hist, _, st = solver_f.fit(params, x0, us0)
+    assert bool(st.converged)
+    us_ref = np.asarray(data[sol_key]["us"])
+    err = np.max(np.abs(np.asarray(us_f) - us_ref))
+    assert err < 1e-4, f"fixed-mu solution off by {err:.3e}"
+
+
+@pytest.mark.parity
+def test_ms_associative_backward_same_solution():
+    data, solver, params, x0, us0, sol_key = build_benchmark("so3_tracking", True)
+    cfg_a = dataclasses.replace(solver.cfg, backward="associative")
+    solver_a = LieILQR(solver.model, cfg_a)
+    (_, _), us_a, J_hist, grad_hist, _, st = solver_a.fit(params, x0, us0)
+    assert bool(st.converged)
+    us_ref = np.asarray(data[sol_key]["us"])
+    err = np.max(np.abs(np.asarray(us_a) - us_ref))
+    assert err < 1e-4, f"associative solution off by {err:.3e}"

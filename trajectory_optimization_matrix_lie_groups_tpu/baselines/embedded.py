@@ -1,0 +1,107 @@
+"""Embedded-Euclidean baselines, TPU-native.
+
+The reference's baseline family (`traoptlibrary/traopt_baseline.py`, 18
+classes) optimizes over raw quaternion/rotation entries with CasADi+IPOPT.
+IPOPT cannot run on TPU (and casadi is not installed here), so the same
+*formulations* are re-expressed as JAX programs solved with this framework's
+own engines:
+
+  - `su2_model` — the "Embedded Euclidean SU(2)" formulation
+    (`EmbeddedEuclideanSU2_SE3:642`): state x = [quat(4), pos(3), xi(6)] in
+    R^13, quaternion kinematics with NO manifold constraint, chordal cost on
+    the raw quaternion difference (`traopt_baseline.py:891-893`), solved by
+    single-shooting iLQR instead of an equality-constrained NLP.
+
+Deviation note: the reference's velocity dynamics constraint drops the
+`+ xi_k` integrator term (`traopt_baseline.py:866-867`:
+``xik_prop = dt*J_inv(...)`` with no ``xik +``) — an apparent bug not
+replicated here; we integrate ``xi_{k+1} = xi_k + dt J^-1(coad(xi) J xi + u)``
+like every other model in the reference.
+
+The embedded method's characteristic failure mode — quaternion norm drift
+(no manifold enforcement) — is preserved: nothing renormalizes q, and
+`utils.metrics.quat_norm_violation` measures it, mirroring the benchmark's
+orthogonality-violation metric (`benchmark_SE3_tracking.py:414-418`).
+"""
+
+import jax.numpy as jnp
+
+from trajectory_optimization_matrix_lie_groups_tpu.models.autodiff import autodiff_model
+from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.ilqr import ILQR, ILQRConfig
+
+
+def _quat_mul(q1, q2):
+    w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    w2, x2, y2, z2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return jnp.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+
+
+def _quat_rotate(q, v):
+    """Rotate v by (possibly non-unit) quaternion q, as the embedded method
+    does — through the quaternion sandwich without normalization."""
+    qv = jnp.concatenate([jnp.zeros_like(v[..., :1]), v], axis=-1)
+    qc = q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+    return _quat_mul(_quat_mul(q, qv), qc)[..., 1:]
+
+
+def su2_model(J, dt, q_ref, xi_ref, Q, R, P, nu=6):
+    """Embedded SU(2)/R^13 model + cost, solved by Euclidean iLQR.
+
+    q_ref: (N+1, 4, 4) SE(3) reference (converted to quat-pos here);
+    weights follow the reference's slicing (`traopt_baseline.py:684-697`):
+    alpha = Q[0,0] on the raw quaternion difference, Qp = Q[3:6,3:6] on
+    position, Qw = Q[6:,6:] on the twist.
+    """
+    J = jnp.asarray(J)
+    Jinv = jnp.linalg.inv(J)
+    quat_ref = se3.quatpos_from_matrix(jnp.asarray(q_ref))  # (N+1, 7)
+    xi_ref = jnp.asarray(xi_ref).reshape(quat_ref.shape[0], 6)
+    Q = jnp.asarray(Q)
+    P = jnp.asarray(P)
+    alpha, alphaN = Q[0, 0], P[0, 0]
+    Qp, Pp = Q[3:6, 3:6], P[3:6, 3:6]
+    Qw, Pw = Q[6:, 6:], P[6:, 6:]
+    R = jnp.asarray(R)
+
+    def f(x, u, i):
+        q, p, xi = x[:4], x[4:7], x[7:]
+        w, v = xi[:3], xi[3:]
+        q_next = q + dt * 0.5 * _quat_mul(q, jnp.concatenate([jnp.zeros(1), w]))
+        p_next = p + dt * _quat_rotate(q, v)
+        wrench = se3.coad(xi) @ (J @ xi) + u
+        xi_next = xi + dt * (Jinv @ wrench)
+        return jnp.concatenate([q_next, p_next, xi_next])
+
+    def _stage(x, i, a, Wp, Ww):
+        dq = x[:4] - quat_ref[i, :4]
+        dp = x[4:7] - quat_ref[i, 4:]
+        dxi = x[7:] - xi_ref[i]
+        return a * dq @ dq + dp @ Wp @ dp + dxi @ Ww @ dxi
+
+    def l(x, u, i):
+        return _stage(x, i, alpha, Qp, Qw) + u @ R @ u
+
+    def l_terminal(x, i):
+        return _stage(x, i, alphaN, Pp, Pw)
+
+    return autodiff_model(f, l, l_terminal, 13, nu)
+
+
+def solve_su2(J, dt, q_ref, xi_ref, Q, R, P, x0, us_init, nu=6,
+              n_iterations=200, tol_grad_norm=1e-6):
+    """Build and solve the embedded baseline; returns (xs, us, J_hist, ...)."""
+    model = su2_model(J, dt, q_ref, xi_ref, Q, R, P, nu=nu)
+    N = jnp.asarray(us_init).shape[0]
+    cfg = ILQRConfig(N=int(N), tol_grad_norm=tol_grad_norm,
+                     max_iterations=n_iterations)
+    solver = ILQR(model, cfg)
+    q0, xi0 = x0
+    x0_vec = jnp.concatenate([se3.quatpos_from_matrix(jnp.asarray(q0)),
+                              jnp.asarray(xi0).reshape(6)])
+    return solver.fit(x0_vec, us_init, n_iterations=n_iterations)

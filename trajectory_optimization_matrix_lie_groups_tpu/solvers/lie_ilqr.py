@@ -210,6 +210,8 @@ class LieILQR:
 
     def _backward(self, lin, mu, delta):
         cfg = self.cfg
+        if cfg.backward == "sequential_fixed":
+            return self._backward_sequential_fixed(lin, mu, delta)
         if cfg.backward == "associative":
             d = lin["d"] if cfg.multiple_shooting else jnp.zeros_like(lin["d"])
             k, K, Vx_n, Vxx_n = riccati.parallel_backward(
@@ -217,6 +219,43 @@ class LieILQR:
                 lin["Lux"], lin["Luu"], mu=0.0)
             return k, K, Vx_n, Vxx_n, mu, delta, jnp.asarray(False)
         return self._backward_sequential(lin, mu, delta)
+
+    def _backward_sequential_fixed(self, lin, mu, delta):
+        """Sequential Riccati with fixed mu = 0 (no per-step PD retry loop).
+
+        Same fixed point as the adaptive schedule on well-conditioned
+        problems; the while_loop-free scan body compiles to a much cheaper
+        TPU loop (throughput mode)."""
+        cfg = self.cfg
+        nx = self.model.nx
+        d = lin["d"] if cfg.multiple_shooting else jnp.zeros_like(lin["d"])
+
+        def step(carry, inp):
+            Vx, Vxx = carry
+            fx, fu, dd, lx, lu, lxx, lux, luu = inp
+            fxT = jnp.swapaxes(fx, -1, -2)
+            fuT = jnp.swapaxes(fu, -1, -2)
+            Vmod = Vx + _bmv(Vxx, dd)
+            Qx = lx + _bmv(fxT, Vmod)
+            Qu = lu + _bmv(fuT, Vmod)
+            Qxx = lxx + fxT @ Vxx @ fx
+            Qux = lux + fuT @ Vxx @ fx
+            Quu = luu + fuT @ Vxx @ fu
+            k = -jnp.linalg.solve(Quu, Qu)
+            K = -jnp.linalg.solve(Quu, Qux)
+            QuxT = jnp.swapaxes(Qux, -1, -2)
+            KT = jnp.swapaxes(K, -1, -2)
+            Vx_new = Qx + _bmv(KT @ Quu, k) + _bmv(KT, Qu) + _bmv(QuxT, k)
+            Vxx_new = _sym(Qxx + KT @ Quu @ K + KT @ Qux + QuxT @ K)
+            return (Vx_new, Vxx_new), (k, K, Vx, Vxx)
+
+        (_, _), (k, K, Vx_next, Vxx_next) = lax.scan(
+            step, (lin["Lx"][-1], lin["Lxx"][-1]),
+            (lin["Fx"], lin["Fu"], d, lin["Lx"][:-1], lin["Lu"],
+             lin["Lxx"][:-1], lin["Lux"], lin["Luu"]),
+            reverse=True,
+        )
+        return k, K, Vx_next, Vxx_next, mu, delta, jnp.asarray(False)
 
     def _backward_sequential(self, lin, mu, delta):
         """Defect-aware Riccati recursion with the reference's per-step
