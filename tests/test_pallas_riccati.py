@@ -1,0 +1,42 @@
+"""Pallas batched-Riccati kernel vs the associative/sequential references.
+
+On CPU the kernel runs in interpreter mode; on TPU it compiles for real
+(exercised by bench/TPU runs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_riccati import (
+    pallas_backward,
+)
+from trajectory_optimization_matrix_lie_groups_tpu.solvers import riccati
+
+
+def _random_problem(key, B, N):
+    ks = jax.random.split(key, 8)
+    Fx = 0.1 * jax.random.normal(ks[0], (B, N, 12, 12)) + jnp.eye(12)
+    Fu = 0.1 * jax.random.normal(ks[1], (B, N, 12, 6))
+    d = 0.01 * jax.random.normal(ks[2], (B, N, 12))
+    Lx = jax.random.normal(ks[3], (B, N + 1, 12))
+    Lu = jax.random.normal(ks[4], (B, N, 6))
+    W = jax.random.normal(ks[5], (B, N + 1, 12, 12))
+    Lxx = W @ jnp.swapaxes(W, -1, -2) * 0.1 + jnp.eye(12)
+    Lux = 0.1 * jax.random.normal(ks[6], (B, N, 6, 12))
+    U = jax.random.normal(ks[7], (B, N, 6, 6))
+    Luu = U @ jnp.swapaxes(U, -1, -2) * 0.1 + jnp.eye(6)
+    return Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu
+
+
+def test_pallas_matches_parallel_backward():
+    args = _random_problem(jax.random.PRNGKey(0), B=4, N=12)
+    interpret = jax.default_backend() != "tpu"
+    k_p, K_p, Vx_p, Vxx_p = pallas_backward(*args, interpret=interpret)
+    k_r, K_r, Vx_r, Vxx_r = jax.vmap(
+        lambda *a: riccati.parallel_backward(*a, mu=0.0))(*args)
+    np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_r), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_r), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(Vx_p), np.asarray(Vx_r), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Vxx_p), np.asarray(Vxx_r), atol=1e-9)
