@@ -2,25 +2,30 @@
 
 The throughput workload is thousands of independent 12-dim Riccati sweeps
 (one per MPC problem).  XLA's scan executes each stage as a chain of small
-(B,12,12) ops with HBM round-trips and poor VPU utilization.  This kernel
-restructures the computation for the hardware: a tile of ``BT = 128``
-problems rides the VPU *lane* dimension, every 12x12/6x6 matrix entry is a
-(BT,)-vector, and the whole N-stage recursion runs inside one kernel with
-stage slices DMA'd HBM->VMEM and all linear algebra (matmuls via broadcast
-FMA chains, Cholesky factorization and triangular solves unrolled over the
-static 6x6 control block) executed on VMEM tiles.
+(B,12,12) ops with poor VPU utilization; this kernel restructures the
+computation for the hardware:
 
-Layout contract (host side prepares these):
-    Fx   (N, 12, 12, B)    Lxx  (N+1, 12, 12, B)
-    Fu   (N, 12, 6, B)     Lux  (N, 6, 12, B)
-    d    (N, 12, B)        Luu  (N, 6, 6, B)
-    Lx   (N+1, 12, B)      Lu   (N, 6, B)
-outputs:
-    k (N, 6, B), K (N, 6, 12, B), Vx1 (N, 12, B), Vxx1 (N, 12, 12, B)
-(Vx1[i]/Vxx1[i] = value function at stage i+1, matching the sequential
-backward's outputs.)
+- a tile of ``B`` problems rides the VPU *lane* dimension — every 12x12 /
+  6x6 matrix entry is a (B,)-vector, so each "scalar" op is a full-width
+  vector op;
+- matmuls are unrolled broadcast-FMA chains, the 6x6 control-block solve is
+  an unrolled lane-batched Cholesky + triangular substitutions (no
+  linalg library calls);
+- the stage recursion maps onto the TPU pallas *grid*, which executes
+  sequentially: grid step ``s`` processes stage ``i = N-1-s`` via reversed
+  BlockSpec index maps, the value-function carry lives in VMEM scratch that
+  persists across grid steps, and the pipeline machinery double-buffers the
+  per-stage HBM<->VMEM transfers automatically.
 
-Fixed mu = 0 (throughput mode — see solvers/riccati.py docstring for why the
+Layout contract (host side transposes): stage-major with batch last,
+  Fx (N,12,12,B), Fu (N,12,6,B), d (N,12,B), Lx (N,12,B), Lu (N,6,B),
+  Lxx (N,12,12,B), Lux (N,6,12,B), Luu (N,6,6,B), terminal LxN (12,B),
+  LxxN (12,12,B).
+Outputs: k (N,6,B), K (N,6,12,B), Vx1 (N,12,B), Vxx1 (N,12,12,B), with
+Vx1[i]/Vxx1[i] the value function at stage i+1 (matching the sequential
+backward's outputs).
+
+Fixed mu = 0 (throughput mode — see solvers/riccati.py for why the
 reference's adaptive per-step schedule is inherently sequential).
 """
 
@@ -35,15 +40,15 @@ NX = 12
 NU = 6
 
 
-def _matmul(A, B, n, m, p):
-    """C (n,p,BT) = A (n,m,BT) @ B (m,p,BT), entries are lane vectors."""
+def _matmul(A, B, m):
+    """C (n,p,BT) = A (n,m,BT) @ B (m,p,BT); entries are lane vectors."""
     C = A[:, 0:1, :] * B[0:1, :, :]
     for kk in range(1, m):
         C = C + A[:, kk:kk + 1, :] * B[kk:kk + 1, :, :]
     return C
 
 
-def _matvec(A, v, n, m):
+def _matvec(A, v, m):
     """w (n,BT) = A (n,m,BT) @ v (m,BT)."""
     w = A[:, 0, :] * v[0:1, :]
     for kk in range(1, m):
@@ -56,8 +61,7 @@ def _transpose(A):
 
 
 def _chol(Quu):
-    """Lane-batched 6x6 Cholesky, fully unrolled.  Returns rows list of
-    lists of (BT,) vectors: L[i][j] for j <= i."""
+    """Lane-batched 6x6 Cholesky, fully unrolled (L[i][j] are (BT,) vectors)."""
     L = [[None] * NU for _ in range(NU)]
     for j in range(NU):
         s = Quu[j, j, :]
@@ -73,106 +77,79 @@ def _chol(Quu):
     return L
 
 
-def _chol_solve(L, B, ncols):
-    """Solve (L L^T) X = B for B (6, ncols, BT); returns (6, ncols, BT)."""
-    # forward substitution L Y = B
+def _chol_solve_mat(L, B):
+    """Solve (L L^T) X = B for B (6, p, BT) without stack/concat."""
     Y = [None] * NU
     for i in range(NU):
-        s = B[i]
+        s = B[i, :, :]
         for kk in range(i):
             s = s - L[i][kk][None, :] * Y[kk]
         Y[i] = s / L[i][i][None, :]
-    # back substitution L^T X = Y
     X = [None] * NU
     for i in reversed(range(NU)):
         s = Y[i]
         for kk in range(i + 1, NU):
             s = s - L[kk][i][None, :] * X[kk]
         X[i] = s / L[i][i][None, :]
-    return jnp.stack(X, axis=0)
+    # assemble via broadcast-add (avoids jnp.stack / scatter, which Mosaic
+    # does not lower)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (NU, 1, 1), 0)
+    out = jnp.zeros_like(B)
+    for i in range(NU):
+        onehot = (rows == i).astype(B.dtype)
+        out = out + onehot * X[i][None, :, :]
+    return out
 
 
-def _riccati_kernel(Fx_hbm, Fu_hbm, d_hbm, Lx_hbm, Lu_hbm, Lxx_hbm, Lux_hbm,
-                    Luu_hbm, k_hbm, K_hbm, Vx1_hbm, Vxx1_hbm,
-                    Vx_s, Vxx_s, stage_s, out_s, sem_in, sem_out, *, N):
-    # load terminal value function
-    def load(dst, src_ref, idx, sem):
-        cp = pltpu.make_async_copy(src_ref.at[idx], dst, sem)
-        cp.start()
-        cp.wait()
+def _riccati_kernel(fx_ref, fu_ref, d_ref, lx_ref, lu_ref, lxx_ref, lux_ref,
+                    luu_ref, lxN_ref, lxxN_ref,
+                    k_ref, K_ref, Vx1_ref, Vxx1_ref,
+                    Vx_s, Vxx_s):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        Vx_s[:] = lxN_ref[:]
+        Vxx_s[:] = lxxN_ref[:]
 
-    load(Vx_s, Lx_hbm, N, sem_in.at[0])
-    load(Vxx_s, Lxx_hbm, N, sem_in.at[1])
+    fx = fx_ref[0]
+    fu = fu_ref[0]
+    dd = d_ref[0]
+    Vx = Vx_s[:]
+    Vxx = Vxx_s[:]
 
-    def body(step, _):
-        i = N - 1 - step
-        # stage slices HBM -> VMEM scratch
-        fx_b, fu_b, d_b, lx_b, lu_b, lxx_b, lux_b, luu_b = (
-            stage_s[0], stage_s[1], stage_s[2], stage_s[3], stage_s[4],
-            stage_s[5], stage_s[6], stage_s[7])
-        load(fx_b, Fx_hbm, i, sem_in.at[0])
-        load(fu_b, Fu_hbm, i, sem_in.at[1])
-        load(d_b, d_hbm, i, sem_in.at[2])
-        load(lx_b, Lx_hbm, i, sem_in.at[3])
-        load(lu_b, Lu_hbm, i, sem_in.at[4])
-        load(lxx_b, Lxx_hbm, i, sem_in.at[5])
-        load(lux_b, Lux_hbm, i, sem_in.at[6])
-        load(luu_b, Luu_hbm, i, sem_in.at[7])
+    fxT = _transpose(fx)
+    fuT = _transpose(fu)
+    Vmod = Vx + _matvec(Vxx, dd, NX)
+    Qx = lx_ref[0] + _matvec(fxT, Vmod, NX)
+    Qu = lu_ref[0] + _matvec(fuT, Vmod, NX)
+    VF = _matmul(Vxx, fx, NX)
+    Qxx = lxx_ref[0] + _matmul(fxT, VF, NX)
+    Qux = lux_ref[0] + _matmul(fuT, VF, NX)
+    Quu = luu_ref[0] + _matmul(fuT, _matmul(Vxx, fu, NX), NX)
 
-        fx = fx_b[:]
-        fu = fu_b[:]
-        dd = d_b[:]
-        Vx = Vx_s[:]
-        Vxx = Vxx_s[:]
+    L = _chol(Quu)
+    K = -_chol_solve_mat(L, Qux)                      # (6, 12, BT)
+    k = -_chol_solve_mat(L, Qu[:, None, :])[:, 0, :]  # (6, BT)
 
-        fxT = _transpose(fx)
-        fuT = _transpose(fu)
-        Vmod = Vx + _matvec(Vxx, dd, NX, NX)
-        Qx = lx_b[:] + _matvec(fxT, Vmod, NX, NX)
-        Qu = lu_b[:] + _matvec(fuT, Vmod, NU, NX)
-        VF = _matmul(Vxx, fx, NX, NX, NX)
-        Qxx = lxx_b[:] + _matmul(fxT, VF, NX, NX, NX)
-        Qux = lux_b[:] + _matmul(fuT, VF, NU, NX, NX)
-        Quu = luu_b[:] + _matmul(fuT, _matmul(Vxx, fu, NX, NX, NU), NU, NX, NU)
+    KT = _transpose(K)
+    QuxT = _transpose(Qux)
+    KTQuu = _matmul(KT, Quu, NU)
+    Vx_new = (Qx + _matvec(KTQuu, k, NU) + _matvec(KT, Qu, NU)
+              + _matvec(QuxT, k, NU))
+    Vxx_new = (Qxx + _matmul(KTQuu, K, NU) + _matmul(KT, Qux, NU)
+               + _matmul(QuxT, K, NU))
+    Vxx_new = 0.5 * (Vxx_new + _transpose(Vxx_new))
 
-        L = _chol(Quu)
-        # joint RHS: [Qu | Qux] (6, 1+12, BT)
-        rhs = jnp.concatenate([Qu[:, None, :], Qux], axis=1)
-        sol = _chol_solve(L, rhs, 1 + NX)
-        k = -sol[:, 0, :]
-        K = -sol[:, 1:, :]
-
-        KT = _transpose(K)
-        QuxT = _transpose(Qux)
-        KTQuu = _matmul(KT, Quu, NX, NU, NU)
-        Vx_new = (Qx + _matvec(KTQuu, k, NX, NU) + _matvec(KT, Qu, NX, NU)
-                  + _matvec(QuxT, k, NX, NU))
-        Vxx_new = (Qxx + _matmul(KTQuu, K, NX, NU, NX)
-                   + _matmul(KT, Qux, NX, NU, NX)
-                   + _matmul(QuxT, K, NX, NU, NX))
-        Vxx_new = 0.5 * (Vxx_new + _transpose(Vxx_new))
-
-        # write stage outputs (k, K, V at i+1)
-        out_s[0][:] = k
-        out_s[1][:] = K
-        out_s[2][:] = Vx
-        out_s[3][:] = Vxx
-        for buf, dst in ((out_s[0], k_hbm), (out_s[1], K_hbm),
-                         (out_s[2], Vx1_hbm), (out_s[3], Vxx1_hbm)):
-            cp = pltpu.make_async_copy(buf, dst.at[i], sem_out)
-            cp.start()
-            cp.wait()
-
-        Vx_s[:] = Vx_new
-        Vxx_s[:] = Vxx_new
-        return 0
-
-    jax.lax.fori_loop(0, N, body, 0)
+    k_ref[0] = k
+    K_ref[0] = K
+    Vx1_ref[0] = Vx
+    Vxx1_ref[0] = Vxx
+    Vx_s[:] = Vx_new
+    Vxx_s[:] = Vxx_new
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False):
-    """Batched Riccati backward (mu = 0) via the Pallas kernel.
+    """Batched Riccati backward (mu = 0) via the Pallas grid-pipeline kernel.
 
     Inputs in solver layout: Fx (B,N,12,12), Fu (B,N,12,6), d (B,N,12),
     Lx (B,N+1,12), Lu (B,N,6), Lxx (B,N+1,12,12), Lux (B,N,6,12),
@@ -182,51 +159,41 @@ def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False):
     dt = Fx.dtype
 
     def to_lanes(x):
-        # (B, N, ...) -> (N, ..., B)
-        return jnp.moveaxis(x, 0, -1)
+        return jnp.moveaxis(x, 0, -1)  # (B, N, ...) -> (N, ..., B)
 
-    args = [to_lanes(a) for a in (Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu)]
+    stage_args = [to_lanes(a) for a in
+                  (Fx, Fu, d, Lx[:, :-1], Lu, Lxx[:, :-1], Lux, Luu)]
+    lxN = jnp.moveaxis(Lx[:, -1], 0, -1)      # (12, B)
+    lxxN = jnp.moveaxis(Lxx[:, -1], 0, -1)    # (12, 12, B)
 
-    kernel = functools.partial(_riccati_kernel, N=N)
+    rev = lambda s: (lambda i: (N - 1 - i,) + (0,) * (len(s) - 1))
+    stage_specs = [
+        pl.BlockSpec((1,) + a.shape[1:], rev(a.shape)) for a in stage_args
+    ]
+    full_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+
     out_shapes = (
         jax.ShapeDtypeStruct((N, NU, B), dt),
         jax.ShapeDtypeStruct((N, NU, NX, B), dt),
         jax.ShapeDtypeStruct((N, NX, B), dt),
         jax.ShapeDtypeStruct((N, NX, NX, B), dt),
     )
-    stage_scratch = [
-        pltpu.VMEM((NX, NX, B), dt),   # fx
-        pltpu.VMEM((NX, NU, B), dt),   # fu
-        pltpu.VMEM((NX, B), dt),       # d
-        pltpu.VMEM((NX, B), dt),       # lx
-        pltpu.VMEM((NU, B), dt),       # lu
-        pltpu.VMEM((NX, NX, B), dt),   # lxx
-        pltpu.VMEM((NU, NX, B), dt),   # lux
-        pltpu.VMEM((NU, NU, B), dt),   # luu
-    ]
-    out_scratch = [
-        pltpu.VMEM((NU, B), dt),
-        pltpu.VMEM((NU, NX, B), dt),
-        pltpu.VMEM((NX, B), dt),
-        pltpu.VMEM((NX, NX, B), dt),
-    ]
+    out_specs = tuple(
+        pl.BlockSpec((1,) + s.shape[1:], rev(s.shape)) for s in out_shapes
+    )
 
     k_l, K_l, Vx1_l, Vxx1_l = pl.pallas_call(
-        kernel,
+        _riccati_kernel,
+        grid=(N,),
         out_shape=out_shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 8,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.ANY)] * 4),
+        in_specs=stage_specs + full_specs,
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((NX, B), dt),       # Vx carry
-            pltpu.VMEM((NX, NX, B), dt),   # Vxx carry
-            stage_scratch,
-            out_scratch,
-            pltpu.SemaphoreType.DMA((8,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((NX, B), dt),
+            pltpu.VMEM((NX, NX, B), dt),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(*args)
+    )(*stage_args, lxN, lxxN)
 
     back = lambda x: jnp.moveaxis(x, -1, 0)
     return back(k_l), back(K_l), back(Vx1_l), back(Vxx1_l)

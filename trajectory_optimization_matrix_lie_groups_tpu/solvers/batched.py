@@ -1,0 +1,174 @@
+"""Batch-explicit fast MS-iLQR (the MPC/throughput path).
+
+`LieILQR` + `jax.vmap` keeps every stage op per-problem; this module keeps
+the problem batch explicit end-to-end so the hot loop can use the
+lane-batched Pallas Riccati kernel (`ops/pallas_riccati.py`) on the whole
+batch at once:
+
+    linearize  — model fns broadcast over (B, N, ...) in one fused call
+    backward   — Pallas kernel, problems on the VPU lanes
+    rollout    — one `lax.scan` over time with a (B, ...) carry
+                 (gap-closing nonlinear rollout, alpha = 1)
+
+Fixed iteration budget, no line search, fixed mu = 0 — the bench/MPC
+configuration (same iterates as `backward='sequential_fixed'`; see
+tests/test_batched_fast.py for agreement with the reference engine).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from trajectory_optimization_matrix_lie_groups_tpu.models.base import LieModel
+from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_riccati import (
+    pallas_backward,
+)
+
+
+def _bmv(M, v):
+    return jnp.einsum("...ij,...j->...i", M, v)
+
+
+class FastBatchState(NamedTuple):
+    qs: jnp.ndarray    # (B, N+1, m, m)
+    xis: jnp.ndarray   # (B, N+1, d)
+    us: jnp.ndarray    # (B, N, nu)
+    J_opt: jnp.ndarray     # (B,)
+    grad_norm: jnp.ndarray  # (B,)
+
+
+class FastBatchSolver:
+    """Fixed-budget batched MS-iLQR with the Pallas backward pass."""
+
+    def __init__(self, model: LieModel, N: int, iterations: int,
+                 use_pallas: bool = True, interpret: bool = False):
+        self.model = model
+        self.N = N
+        self.iterations = iterations
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+        self._solve_jit = jax.jit(self._solve)
+
+    def _linearize(self, params, qs, xis, us):
+        model = self.model
+        N = self.N
+        idx = jnp.arange(N)
+        q_s, xi_s = qs[:, :-1], xis[:, :-1]
+        fq, fxi = model.step(params, q_s, xi_s, us, idx)
+        Fx, Fu = model.jac(params, q_s, xi_s, us, idx)
+        L, Lx, Lu, Lxx, Lux, Luu = model.stage_quad(params, q_s, xi_s, us, idx)
+        LN, LNx, LNxx = model.term_quad(params, qs[:, -1], xis[:, -1], N)
+        d_q = model.group.rminus(fq, qs[:, 1:])
+        d_xi = fxi - xis[:, 1:]
+        d = jnp.concatenate([d_q, d_xi], axis=-1)
+        return dict(
+            fq=fq, fxi=fxi, Fx=Fx, Fu=Fu, d=d,
+            L=jnp.concatenate([L, LN[:, None]], axis=1),
+            Lx=jnp.concatenate([Lx, LNx[:, None]], axis=1),
+            Lu=Lu,
+            Lxx=jnp.concatenate([Lxx, LNxx[:, None]], axis=1),
+            Lux=Lux, Luu=Luu,
+        )
+
+    def _backward(self, lin):
+        if self.use_pallas:
+            return pallas_backward(lin["Fx"], lin["Fu"], lin["d"], lin["Lx"],
+                                   lin["Lu"], lin["Lxx"], lin["Lux"],
+                                   lin["Luu"], interpret=self.interpret)
+        # XLA fallback: scan over time with batched carry
+        def step(carry, inp):
+            Vx, Vxx = carry
+            fx, fu, dd, lx, lu, lxx, lux, luu = inp
+            fxT = jnp.swapaxes(fx, -1, -2)
+            fuT = jnp.swapaxes(fu, -1, -2)
+            Vmod = Vx + _bmv(Vxx, dd)
+            Qx = lx + _bmv(fxT, Vmod)
+            Qu = lu + _bmv(fuT, Vmod)
+            Qxx = lxx + fxT @ Vxx @ fx
+            Qux = lux + fuT @ Vxx @ fx
+            Quu = luu + fuT @ Vxx @ fu
+            k = -jnp.linalg.solve(Quu, Qu[..., None])[..., 0]
+            K = -jnp.linalg.solve(Quu, Qux)
+            KT = jnp.swapaxes(K, -1, -2)
+            QuxT = jnp.swapaxes(Qux, -1, -2)
+            Vx_n = Qx + _bmv(KT @ Quu, k) + _bmv(KT, Qu) + _bmv(QuxT, k)
+            Vxx_n = Qxx + KT @ Quu @ K + KT @ Qux + QuxT @ K
+            Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, -1, -2))
+            return (Vx_n, Vxx_n), (k, K, Vx, Vxx)
+
+        tm = lambda a: jnp.swapaxes(a, 0, 1)  # (B, N, ...) -> (N, B, ...)
+        (_, _), (k, K, Vx1, Vxx1) = lax.scan(
+            step, (lin["Lx"][:, -1], lin["Lxx"][:, -1]),
+            (tm(lin["Fx"]), tm(lin["Fu"]), tm(lin["d"]), tm(lin["Lx"][:, :-1]),
+             tm(lin["Lu"]), tm(lin["Lxx"][:, :-1]), tm(lin["Lux"]),
+             tm(lin["Luu"])),
+            reverse=True,
+        )
+        return tm(k), tm(K), tm(Vx1), tm(Vxx1)
+
+    def _grad_norm(self, lin, Vx1, Vxx1):
+        g = lin["Lu"] + _bmv(
+            jnp.swapaxes(lin["Fu"], -1, -2),
+            Vx1 + _bmv(jnp.swapaxes(Vxx1, -1, -2), lin["d"]))
+        return jnp.mean(jnp.linalg.norm(g, axis=-1), axis=-1)
+
+    def _rollout(self, params, lin, qs, xis, us, k, K):
+        """Gap-closing nonlinear rollout, alpha = 1, batched carry."""
+        g = self.model.group
+        dim = g.dim
+        exp_d = g.exp(lin["d"][..., :dim])
+        fq_inv = g.inverse(lin["fq"])
+        tm = lambda a: jnp.swapaxes(a, 0, 1)
+
+        def step(carry, inp):
+            q_new, xi_new = carry
+            q, xi, q_next, xi_next, u, k_i, K_i, d_i, fxi_i, exp_d_i, fq_inv_i, i = inp
+            xs_err = jnp.concatenate([g.rminus(q_new, q), xi_new - xi], axis=-1)
+            u_new = u + k_i + _bmv(K_i, xs_err)
+            fq_new, fxi_new = self.model.step(params, q_new, xi_new, u_new, i)
+            q_nn = g.normalize(q_next @ exp_d_i @ fq_inv_i @ fq_new)
+            xi_nn = xi_next + fxi_new - fxi_i + d_i[..., dim:]
+            return (q_nn, xi_nn), (q_nn, xi_nn, u_new)
+
+        idx = jnp.arange(self.N)
+        inputs = (tm(qs[:, :-1]), tm(xis[:, :-1]), tm(qs[:, 1:]), tm(xis[:, 1:]),
+                  tm(us), tm(k), tm(K), tm(lin["d"]), tm(lin["fxi"]),
+                  tm(exp_d), tm(fq_inv), idx)
+        (_, _), (qs_t, xis_t, us_new) = lax.scan(
+            step, (qs[:, 0], xis[:, 0]), inputs)
+        qs_new = jnp.concatenate([qs[:, :1], tm(qs_t)], axis=1)
+        xis_new = jnp.concatenate([xis[:, :1], tm(xis_t)], axis=1)
+        return qs_new, xis_new, tm(us_new)
+
+    def _iteration(self, params, qs, xis, us):
+        lin = self._linearize(params, qs, xis, us)
+        k, K, Vx1, Vxx1 = self._backward(lin)
+        grad = self._grad_norm(lin, Vx1, Vxx1)
+        qs, xis, us = self._rollout(params, lin, qs, xis, us, k, K)
+        return qs, xis, us, jnp.sum(lin["L"], axis=-1), grad
+
+    def _solve(self, params, q0s, xi0s, us0, q_ref, xi_ref):
+        B = q0s.shape[0]
+        qs = jnp.concatenate(
+            [q0s[:, None], jnp.broadcast_to(q_ref[1:], (B,) + q_ref[1:].shape)],
+            axis=1)
+        xis = jnp.concatenate(
+            [xi0s[:, None], jnp.broadcast_to(xi_ref[1:], (B,) + xi_ref[1:].shape)],
+            axis=1)
+        us = us0
+
+        def body(_, carry):
+            qs, xis, us, J, grad = carry
+            return self._iteration(params, qs, xis, us)
+
+        init = (qs, xis, us, jnp.full((B,), jnp.inf, us.dtype),
+                jnp.full((B,), jnp.inf, us.dtype))
+        qs, xis, us, J, grad = lax.fori_loop(0, self.iterations, body, init)
+        return FastBatchState(qs=qs, xis=xis, us=us, J_opt=J, grad_norm=grad)
+
+    def solve(self, params, q0s, xi0s, us0, q_ref, xi_ref):
+        return self._solve_jit(params, jnp.asarray(q0s), jnp.asarray(xi0s),
+                               jnp.asarray(us0), jnp.asarray(q_ref),
+                               jnp.asarray(xi_ref))
