@@ -1,0 +1,60 @@
+"""Utility-layer tests: reference generation, rotations, metrics, landscape."""
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from trajectory_optimization_matrix_lie_groups_tpu.ops import se3, so3
+from trajectory_optimization_matrix_lie_groups_tpu.utils import metrics, rotations
+from trajectory_optimization_matrix_lie_groups_tpu.utils.trajectories import (
+    generate_reference,
+    load_reference_triple,
+    save_reference_triple,
+)
+from trajectory_optimization_matrix_lie_groups_tpu.viz.cost_landscape import (
+    pose_error_grid,
+)
+
+
+def test_generate_reference_roundtrip(tmp_path):
+    xi = np.array([0.0, 0.0, 1.0, 2.0, 0.0, 0.2])
+    q_ref, xi_ref = generate_reference(np.eye(4), xi, N=50, dt=0.01)
+    assert q_ref.shape == (51, 4, 4)
+    # consistency: q_{i+1} = q_i Exp(xi dt)
+    d = se3.rminus(jnp.asarray(q_ref[1:]), jnp.asarray(q_ref[:-1]) @ se3.exp(jnp.asarray(xi_ref[:-1]) * 0.01))
+    assert float(jnp.abs(d).max()) < 1e-12
+    p = str(tmp_path / "ref.npy")
+    save_reference_triple(p, q_ref, xi_ref, 0.01)
+    q2, x2, dt = load_reference_triple(p)
+    np.testing.assert_allclose(q2, q_ref)
+    assert dt == 0.01
+
+
+def test_rotation_conversions():
+    rpy = jnp.array([0.2, -0.4, 1.1])
+    q = rotations.euler_zyx_to_quat(rpy)
+    R = rotations.quat_to_matrix(q)
+    np.testing.assert_allclose(np.asarray(rotations.matrix_to_euler_zyx(R)),
+                               np.asarray(rpy), atol=1e-10)
+    w = jnp.array([0.3, 0.4, 0.0])
+    np.testing.assert_allclose(float(rotations.rotation_angle(so3.exp(w))),
+                               0.5, atol=1e-10)
+
+
+def test_metrics_orthogonality():
+    qs = se3.exp(0.3 * jnp.ones((5, 6)))
+    v = metrics.orthogonality_violation(qs)
+    assert float(jnp.max(v)) < 1e-12
+    bad = qs.at[:, 0, 0].multiply(1.01)
+    assert float(jnp.max(metrics.orthogonality_violation(bad))) > 1e-3
+
+
+def test_cost_landscape_grid():
+    Z, TZ, TY = pose_error_grid(np.eye(4), np.linspace(-30, 30, 7),
+                                np.linspace(-30, 30, 5),
+                                np.diag([10.0, 10, 10, 1, 1, 1]))
+    assert Z.shape == (7, 5)
+    # minimum at the unperturbed center
+    assert Z[3, 2] <= Z.min() + 1e-9

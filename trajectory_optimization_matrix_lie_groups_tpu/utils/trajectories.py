@@ -35,3 +35,32 @@ def load_benchmark_pickle(path):
     """Load a reference benchmark results pickle (problem spec + solutions)."""
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def generate_reference(q0, xi_of_i, N, dt):
+    """Generate a reference trajectory by twist integration.
+
+    The reference creates its `.npy` paths by integrating a (possibly
+    time-varying) twist (`convert_path_to_reference.ipynb`;
+    `perturb_all_compute.py:135-154`): q_{i+1} = q_i Exp(xi_i dt).
+
+    Args:
+      q0: (4, 4) or (3, 3) initial pose.
+      xi_of_i: callable i -> twist, or a constant twist array.
+      N: number of steps (returns N+1 poses).
+      dt: step.
+
+    Returns (q_ref (N+1, m, m), xi_ref (N+1, d)).
+    """
+    import jax.numpy as jnp
+
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3, so3
+
+    q0 = jnp.asarray(q0)
+    group = se3 if q0.shape[-1] == 4 else so3
+    xis = [jnp.asarray(xi_of_i(i) if callable(xi_of_i) else xi_of_i)
+           for i in range(N + 1)]
+    qs = [q0]
+    for i in range(N):
+        qs.append(group.normalize(qs[-1] @ group.exp(xis[i] * dt)))
+    return np.asarray(jnp.stack(qs)), np.asarray(jnp.stack(xis))
