@@ -57,3 +57,26 @@ def test_lie_solver_stays_on_manifold():
     (qs, xis), us, *_ = solver.fit(params, x0, us0)
     viol = np.asarray(orthogonality_violation(qs))
     assert viol.max() < 1e-12
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("variant", ["dynconstr", "logcost", "stabilized"])
+def test_embedded_matrix_baselines(variant):
+    from trajectory_optimization_matrix_lie_groups_tpu.baselines.embedded import (
+        solve_se3_matrix,
+    )
+
+    data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    prob = data["prob"]
+    H = 60
+    q_ref = np.asarray(prob["q_ref"])[: H + 1]
+    xi_ref = np.asarray(prob["xi_ref"])[: H + 1]
+    q0 = jnp.asarray(q_ref[0])
+    xi0 = jnp.asarray(xi_ref[0]) + 0.05
+    xs, us, J_hist, grad_hist, st = solve_se3_matrix(
+        prob["J"], float(prob["dt"]), q_ref, xi_ref, prob["Q"], prob["R"],
+        prob["P"], (q0, xi0), jnp.zeros((H, 6)), variant=variant,
+        n_iterations=40)
+    assert J_hist[-1] < J_hist[0]
+    Rf = np.asarray(xs[-1][:9]).reshape(3, 3)
+    assert np.abs(Rf.T @ Rf - np.eye(3)).max() < 1e-8

@@ -105,3 +105,95 @@ def solve_su2(J, dt, q_ref, xi_ref, Q, R, P, x0, us_init, nu=6,
     x0_vec = jnp.concatenate([se3.quatpos_from_matrix(jnp.asarray(q0)),
                               jnp.asarray(xi0).reshape(6)])
     return solver.fit(x0_vec, us_init, n_iterations=n_iterations)
+
+
+# ---------------------------------------------------------------------------
+# Embedded rotation-matrix families (R^18 state)
+# ---------------------------------------------------------------------------
+
+def se3_matrix_model(J, dt, q_ref, xi_ref, Q, R, P, variant="dynconstr",
+                     kappa=1.0, nu=6):
+    """Embedded rotation-entry baselines as R^18 iLQR models.
+
+    Re-expresses the reference's remaining CasADi baseline families — the
+    optimizer works on raw rotation-matrix entries, with the manifold
+    structure entering only through the chosen propagation/cost:
+
+      - 'dynconstr':  exp-map propagation of R, chordal cost ||R - Rbar||_F^2
+        (`EmbeddedEuclideanSE3_DynamicsConstr:4321`; the IPOPT equality
+        constraints become the rollout dynamics of a single-shooting iLQR)
+      - 'logcost':    exp-map propagation, geodesic cost ||Log(R Rbar^T)||^2
+        (`EmbeddedEuclideanSE3_DynamicsConstr_LogCost:3553`)
+      - 'stabilized': Baumgarte-style orthogonality-restoring propagation
+        R' = R (Exp(w dt) + kappa/2 ((R^T R)^-1 - I)), chordal cost
+        (`ConstraintStabilizationSE3:5028`, form at traopt_baseline.py:2644-2646)
+
+    State x = [vec(R) (9), p (3), xi (6)].
+    """
+    J = jnp.asarray(J)
+    Jinv = jnp.linalg.inv(J)
+    q_ref = jnp.asarray(q_ref)
+    R_ref = q_ref[:, :3, :3]
+    p_ref = q_ref[:, :3, 3]
+    xi_ref = jnp.asarray(xi_ref).reshape(q_ref.shape[0], 6)
+    Q = jnp.asarray(Q)
+    P = jnp.asarray(P)
+    alpha, alphaN = Q[0, 0], P[0, 0]
+    Qp, Pp = Q[3:6, 3:6], P[3:6, 3:6]
+    Qw, Pw = Q[6:, 6:], P[6:, 6:]
+    Rw = jnp.asarray(R)
+
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import so3
+
+    def f(x, u, i):
+        Rm = x[:9].reshape(3, 3)
+        p = x[9:12]
+        xi = x[12:]
+        w, v = xi[:3], xi[3:]
+        E = so3.exp(w * dt)
+        if variant == "stabilized":
+            RtR = Rm.T @ Rm
+            E = E + kappa / 2.0 * (jnp.linalg.inv(RtR) - jnp.eye(3))
+        R_next = Rm @ E
+        p_next = p + dt * (Rm @ v)
+        wrench = se3.coad(xi) @ (J @ xi) + u
+        xi_next = xi + dt * (Jinv @ wrench)
+        return jnp.concatenate([R_next.reshape(9), p_next, xi_next])
+
+    def _att_cost(Rm, i, a):
+        if variant == "logcost":
+            e = so3.log(Rm @ R_ref[i].T)
+            return a * (e @ e)
+        dR = Rm - R_ref[i]
+        return a * jnp.sum(dR * dR)
+
+    def _stage(x, i, a, Wp, Ww):
+        Rm = x[:9].reshape(3, 3)
+        dp = x[9:12] - p_ref[i]
+        dxi = x[12:] - xi_ref[i]
+        return _att_cost(Rm, i, a) + dp @ Wp @ dp + dxi @ Ww @ dxi
+
+    def l(x, u, i):
+        return _stage(x, i, alpha, Qp, Qw) + u @ Rw @ u
+
+    def l_terminal(x, i):
+        return _stage(x, i, alphaN, Pp, Pw)
+
+    return autodiff_model(f, l, l_terminal, 18, nu)
+
+
+def solve_se3_matrix(J, dt, q_ref, xi_ref, Q, R, P, x0, us_init,
+                     variant="dynconstr", kappa=1.0, nu=6,
+                     n_iterations=200, tol_grad_norm=1e-6):
+    """Solve an embedded rotation-matrix baseline with Euclidean iLQR."""
+    model = se3_matrix_model(J, dt, q_ref, xi_ref, Q, R, P, variant=variant,
+                             kappa=kappa, nu=nu)
+    N = jnp.asarray(us_init).shape[0]
+    cfg = ILQRConfig(N=int(N), tol_grad_norm=tol_grad_norm,
+                     max_iterations=n_iterations)
+    solver = ILQR(model, cfg)
+    q0, xi0 = x0
+    q0 = jnp.asarray(q0)
+    x0_vec = jnp.concatenate([q0[:3, :3].reshape(9), q0[:3, 3],
+                              jnp.asarray(xi0).reshape(6)])
+    return solver.fit(x0_vec, us_init, n_iterations=n_iterations)
