@@ -1,0 +1,237 @@
+"""Lane-layout SO(3)/SE(3) primitives for Pallas TPU kernels.
+
+Inside a kernel a batch of B problems rides the VPU lane dimension: a
+rotation is a (3, 3, B) array whose entries are (B,)-lane vectors, a
+translation is (3, B), a twist (6, B).  Every function here is built only
+from elementwise ops, broadcasts and selects — no gathers, scatters, stacks
+on sublane axes, or linalg calls — i.e. the subset Mosaic lowers.
+
+These mirror `ops/so3.py` / `ops/se3.py` exactly (same Taylor guards, same
+branchless Shepperd quaternion extraction, realized with nested `where`
+instead of argmax/take) so kernel numerics match the host kernels at f32.
+"""
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+# -- small helpers -----------------------------------------------------------
+
+def matmul3(A, B):
+    """(3,3,B) @ (3,3,B)."""
+    return sum(A[:, k:k + 1, :] * B[k:k + 1, :, :] for k in range(3))
+
+
+def matvec3(A, v):
+    """(3,3,B) @ (3,B)."""
+    return sum(A[:, k, :] * v[k:k + 1, :] for k in range(3))
+
+
+def transpose(A):
+    return jnp.swapaxes(A, 0, 1)
+
+
+def _mat3(rows):
+    """Build a (3,3,B) from a 3x3 nest of (B,) lane vectors."""
+    # stack along sublane axes via broadcast-add with iota one-hots
+    B = rows[0][0].shape[-1]
+    dt = rows[0][0].dtype
+    ri = jax.lax.broadcasted_iota(jnp.int32, (3, 3, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (3, 3, 1), 1)
+    out = jnp.zeros((3, 3, B), dt)
+    for i in range(3):
+        for j in range(3):
+            out = out + jnp.where((ri == i) & (ci == j), 1.0, 0.0).astype(dt) \
+                * rows[i][j][None, None, :]
+    return out
+
+
+def _vec(entries):
+    """Build an (n,B) from a list of (B,) lane vectors."""
+    n = len(entries)
+    B = entries[0].shape[-1]
+    dt = entries[0].dtype
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    out = jnp.zeros((n, B), dt)
+    for i in range(n):
+        out = out + jnp.where(ri == i, 1.0, 0.0).astype(dt) * entries[i][None, :]
+    return out
+
+
+def hat(w):
+    """(3,B) -> (3,3,B)."""
+    z = jnp.zeros_like(w[0])
+    return _mat3([[z, -w[2], w[1]], [w[2], z, -w[0]], [-w[1], w[0], z]])
+
+
+# -- SO(3) -------------------------------------------------------------------
+
+def so3_exp(w):
+    """(3,B) -> (3,3,B) Rodrigues with Taylor guards."""
+    th_sq = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    small = th_sq < _EPS
+    th = jnp.sqrt(jnp.where(small, 1.0, th_sq))
+    a = jnp.where(small, 1.0 - th_sq / 6.0, jnp.sin(th) / th)
+    b = jnp.where(small, 0.5 - th_sq / 24.0, (1.0 - jnp.cos(th)) / jnp.where(small, 1.0, th_sq))
+    W = hat(w)
+    W2 = matmul3(W, W)
+    eye = _eye3(w.dtype, w.shape[-1])
+    return eye + a[None, None, :] * W + b[None, None, :] * W2
+
+
+def _eye3(dt, B):
+    ri = jax.lax.broadcasted_iota(jnp.int32, (3, 3, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (3, 3, 1), 1)
+    return jnp.where(ri == ci, 1.0, 0.0).astype(dt) * jnp.ones((1, 1, B), dt)
+
+
+def quat_from_matrix(R):
+    """(3,3,B) -> 4 lane vectors (qw, qx, qy, qz), branchless Shepperd."""
+    m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]
+    m10, m11, m12 = R[1, 0], R[1, 1], R[1, 2]
+    m20, m21, m22 = R[2, 0], R[2, 1], R[2, 2]
+    tr = m00 + m11 + m22
+
+    def ssq(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-30))
+
+    # candidates (unnormalized), one per pivot
+    s_w = ssq(1.0 + tr)
+    cw = (s_w * s_w, m21 - m12, m02 - m20, m10 - m01)
+    s_x = ssq(1.0 + m00 - m11 - m22)
+    cx = (m21 - m12, s_x * s_x, m01 + m10, m02 + m20)
+    s_y = ssq(1.0 - m00 + m11 - m22)
+    cy = (m02 - m20, m01 + m10, s_y * s_y, m12 + m21)
+    s_z = ssq(1.0 - m00 - m11 + m22)
+    cz = (m10 - m01, m02 + m20, m12 + m21, s_z * s_z)
+
+    pw = 1.0 + tr
+    px = 1.0 + m00 - m11 - m22
+    py = 1.0 - m00 + m11 - m22
+    pz = 1.0 - m00 - m11 + m22
+    # select the best-pivot candidate with nested wheres
+    use_x = (px >= pw) & (px >= py) & (px >= pz)
+    use_y = jnp.logical_not(use_x) & (py >= pw) & (py >= px) & (py >= pz)
+    use_z = jnp.logical_not(use_x) & jnp.logical_not(use_y) & \
+        (pz >= pw) & (pz >= px) & (pz >= py)
+
+    q = []
+    for i in range(4):
+        v = jnp.where(use_x, cx[i], jnp.where(use_y, cy[i],
+                      jnp.where(use_z, cz[i], cw[i])))
+        q.append(v)
+    norm = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
+    sign = jnp.where(q[0] < 0.0, -1.0, 1.0)
+    return tuple(sign * qq / norm for qq in q)
+
+
+def matrix_from_quat(q):
+    qw, qx, qy, qz = q
+    return _mat3([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
+        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
+    ])
+
+
+def _atan_poly(t):
+    """Cephes atanf core polynomial, |t| <= 0.4142 (f32-grade, ~1e-7)."""
+    z = t * t
+    return (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+             + 1.99777106478e-1) * z - 3.33329491539e-1) * z * t + t
+
+
+def _atan_01(t):
+    """atan(t) for t in [0, 1] with the pi/4 range reduction."""
+    hi = t > 0.4142135623730950
+    tr = (t - 1.0) / (t + 1.0)
+    return jnp.where(hi, 0.7853981633974483 + _atan_poly(tr), _atan_poly(t))
+
+
+def atan2_pos(y, x):
+    """atan2 for y, x >= 0 (first quadrant) from elementwise primitives.
+
+    Mosaic has no atan/asin/acos lowering; this is the Cephes polynomial
+    with range reduction (~1e-7 absolute — f32-grade)."""
+    swap = y > x
+    num = jnp.where(swap, x, y)
+    den = jnp.where(swap, y, x)
+    t = num / jnp.maximum(den, 1e-30)
+    a = _atan_01(t)
+    return jnp.where(swap, 1.5707963267948966 - a, a)
+
+
+def so3_log(R):
+    """(3,3,B) -> (3,B), robust near 0 and pi (quaternion path)."""
+    qw, qx, qy, qz = quat_from_matrix(R)
+    nv_sq = qx * qx + qy * qy + qz * qz
+    small = nv_sq < 1e-14
+    nv = jnp.sqrt(jnp.where(small, 1.0, nv_sq))
+    big = 2.0 * atan2_pos(nv, qw) / nv
+    taylor = 2.0 / qw - 2.0 * nv_sq / (3.0 * qw**3)
+    s = jnp.where(small, taylor, big)
+    return _vec([s * qx, s * qy, s * qz])
+
+
+def so3_normalize(R):
+    return matrix_from_quat(quat_from_matrix(R))
+
+
+def _jl_coeffs(th_sq):
+    small = th_sq < _EPS
+    th_sq_safe = jnp.where(small, 1.0, th_sq)
+    th = jnp.sqrt(th_sq_safe)
+    b = jnp.where(small, 0.5 - th_sq / 24.0, (1.0 - jnp.cos(th)) / th_sq_safe)
+    c = jnp.where(small, 1.0 / 6.0 - th_sq / 120.0,
+                  (th - jnp.sin(th)) / (th_sq_safe * th))
+    return b, c
+
+
+def so3_left_jacobian(w):
+    th_sq = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    b, c = _jl_coeffs(th_sq)
+    W = hat(w)
+    W2 = matmul3(W, W)
+    return _eye3(w.dtype, w.shape[-1]) + b[None, None, :] * W + c[None, None, :] * W2
+
+
+def so3_left_jacobian_inv(w):
+    th_sq = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    small = th_sq < _EPS
+    th_sq_safe = jnp.where(small, 1.0, th_sq)
+    th = jnp.sqrt(th_sq_safe)
+    half = th / 2.0
+    k = jnp.where(small, 1.0 / 12.0 + th_sq / 720.0,
+                  1.0 / th_sq_safe - jnp.cos(half) / (2.0 * th * jnp.sin(half)))
+    W = hat(w)
+    W2 = matmul3(W, W)
+    return _eye3(w.dtype, w.shape[-1]) - 0.5 * W + k[None, None, :] * W2
+
+
+# -- SE(3) (R (3,3,B), p (3,B)) ---------------------------------------------
+
+def se3_exp(xi):
+    """(6,B) twist [w, v] -> (R, p)."""
+    w = xi[:3]
+    v = xi[3:]
+    R = so3_exp(w)
+    p = matvec3(so3_left_jacobian(w), v)
+    return R, p
+
+
+def se3_log(R, p):
+    """(R, p) -> (6,B)."""
+    w = so3_log(R)
+    v = matvec3(so3_left_jacobian_inv(w), p)
+    return jnp.concatenate([w, v], axis=0)
+
+
+def se3_compose(R1, p1, R2, p2):
+    return matmul3(R1, R2), matvec3(R1, p2) + p1
+
+
+def se3_inverse(R, p):
+    Rt = transpose(R)
+    return Rt, -matvec3(Rt, p)

@@ -25,6 +25,9 @@ from trajectory_optimization_matrix_lie_groups_tpu.models.base import LieModel
 from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_riccati import (
     pallas_backward,
 )
+from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_rollout import (
+    pallas_rollout,
+)
 
 
 def _bmv(M, v):
@@ -43,12 +46,17 @@ class FastBatchSolver:
     """Fixed-budget batched MS-iLQR with the Pallas backward pass."""
 
     def __init__(self, model: LieModel, N: int, iterations: int,
-                 use_pallas: bool = True, interpret: bool = False):
+                 use_pallas: bool = True, interpret: bool = False,
+                 pallas_rollout_dt: float = None):
+        """`pallas_rollout_dt`: pass the (static) time step to additionally
+        run the gap-closing rollout as a Pallas kernel — valid only for the
+        free SE(3) body (`se3_dynamics`), whose step the kernel implements."""
         self.model = model
         self.N = N
         self.iterations = iterations
         self.use_pallas = use_pallas
         self.interpret = interpret
+        self.pallas_rollout_dt = pallas_rollout_dt
         self._solve_jit = jax.jit(self._solve)
 
     def _linearize(self, params, qs, xis, us):
@@ -117,6 +125,16 @@ class FastBatchSolver:
     def _rollout(self, params, lin, qs, xis, us, k, K):
         """Gap-closing nonlinear rollout, alpha = 1, batched carry."""
         g = self.model.group
+        if self.pallas_rollout_dt is not None:
+            from trajectory_optimization_matrix_lie_groups_tpu.ops import se3 as se3ops
+
+            dp = params["dyn"]
+            exp_d = se3ops.exp(lin["d"][..., :6])
+            fq_inv = se3ops.inverse(lin["fq"])
+            return pallas_rollout(qs, xis, us, k, K, lin["d"], lin["fxi"],
+                                  exp_d, fq_inv, dp.J, dp.Jinv,
+                                  self.pallas_rollout_dt,
+                                  interpret=self.interpret)
         dim = g.dim
         exp_d = g.exp(lin["d"][..., :dim])
         fq_inv = g.inverse(lin["fq"])
