@@ -235,3 +235,78 @@ def se3_compose(R1, p1, R2, p2):
 def se3_inverse(R, p):
     Rt = transpose(R)
     return Rt, -matvec3(Rt, p)
+
+
+def matmul(A, B, m):
+    """(n,m,B) @ (m,p,B) generic lane matmul."""
+    return sum(A[:, k:k + 1, :] * B[k:k + 1, :, :] for k in range(m))
+
+
+def matvec(A, v, m):
+    """(n,m,B) @ (m,B)."""
+    return sum(A[:, k, :] * v[k:k + 1, :] for k in range(m))
+
+
+def blk(A, Bm, C, D):
+    """[[A, Bm], [C, D]] from (r,c,B) quadrants via sublane concats."""
+    top = jnp.concatenate([A, Bm], axis=1)
+    bot = jnp.concatenate([C, D], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _zeros3(like):
+    return jnp.zeros_like(like)
+
+
+def _q_coeffs(th_sq):
+    """Barfoot Q-matrix coefficients with Taylor guards (lane vectors)."""
+    small = th_sq < _EPS
+    th_sq_safe = jnp.where(small, 1.0, th_sq)
+    th = jnp.sqrt(th_sq_safe)
+    s, c = jnp.sin(th), jnp.cos(th)
+    c1 = jnp.where(small, 1.0 / 6.0 - th_sq / 120.0, (th - s) / (th_sq_safe * th))
+    c2 = jnp.where(small, 1.0 / 24.0 - th_sq / 720.0,
+                   (th_sq_safe + 2.0 * c - 2.0) / (2.0 * th_sq_safe * th_sq_safe))
+    c3 = jnp.where(small, 1.0 / 120.0 - th_sq / 2520.0,
+                   (2.0 * th - 3.0 * s + th * c) / (2.0 * th_sq_safe * th_sq_safe * th))
+    return c1, c2, c3
+
+
+def _q_matrix(w, v):
+    th_sq = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    c1, c2, c3 = _q_coeffs(th_sq)
+    W = hat(w)
+    V = hat(v)
+    WV = matmul3(W, V)
+    VW = matmul3(V, W)
+    WVW = matmul3(WV, W)
+    e = lambda x: x[None, None, :]
+    return (0.5 * V + e(c1) * (WV + VW + WVW)
+            + e(c2) * (matmul3(W, WV) + matmul3(VW, W) - 3.0 * WVW)
+            + e(c3) * (matmul3(WVW, W) + matmul3(W, WVW)))
+
+
+def se3_right_jacobian(xi):
+    """(6,B) -> (6,6,B), Jr(xi) = Jl(-xi)."""
+    w = -xi[:3]
+    v = -xi[3:]
+    Jw = so3_left_jacobian(w)
+    Q = _q_matrix(w, v)
+    Z = jnp.zeros_like(Jw)
+    return blk(Jw, Z, Q, Jw)
+
+
+def se3_right_jacobian_inv(xi):
+    """(6,B) -> (6,6,B), Jr^-1(xi) = Jl^-1(-xi)."""
+    w = -xi[:3]
+    v = -xi[3:]
+    Jwi = so3_left_jacobian_inv(w)
+    Q = _q_matrix(w, v)
+    Z = jnp.zeros_like(Jwi)
+    return blk(Jwi, Z, -matmul3(matmul3(Jwi, Q), Jwi), Jwi)
+
+
+def se3_Ad(R, p):
+    """Group adjoint [[R, 0], [hat(p) R, R]] as (6,6,B)."""
+    Z = jnp.zeros_like(R)
+    return blk(R, Z, matmul3(hat(p), R), R)

@@ -1,0 +1,183 @@
+"""Pallas TPU kernel: fused per-stage linearization + GN quadratization.
+
+The third kernel of the fast iteration (with `pallas_riccati` and
+`pallas_rollout`): for every stage, in one pass over VMEM tiles with B
+problems on the lanes, compute
+
+    dynamics eval   fq = normalize(q Exp(xi dt)),  fxi (Euler-Poincare)
+    defect          d = [Log(q_{i+1}^-1 fq); fxi - xi_{i+1}]
+    dynamics jac    Fx = [[Ad(Exp(-tau)), Jr(tau) dt], [0, I + H dt]]
+                    (H with the reference coad-swap quirk)
+    cost quad       e = Log(q qbar^-1),  J_e_x = Jr^-1(e) Ad(qbar),
+                    l, lx, lxx (Gauss-Newton)
+
+This stage work is embarrassingly parallel; the grid runs over stages and
+the pipeline overlaps the HBM<->VMEM block transfers with compute.  Control
+Fu / lu / luu / lux are constant or trivially computed outside.
+
+Scope: `se3_dynamics` + GN tracking cost (the MPC benchmark family).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trajectory_optimization_matrix_lie_groups_tpu.ops import pallas_lie as pll
+
+
+def _cross(a, b):
+    return pll._vec([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ])
+
+
+def _linearize_kernel(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
+                      u_ref, RbiR_ref, Rbip_ref, Adb_ref, xib_ref,
+                      Jl_ref, Jil_ref, W1_ref, W2_ref,
+                      fqR_ref, fqp_ref, fxi_ref, d_ref, Fx_ref, lx_ref,
+                      lxx_ref, l_ref, *, dt):
+    R = qR_ref[0]
+    p = qp_ref[0]
+    xi = xi_ref[0]
+    u = u_ref[0]
+    B = R.shape[-1]
+    dtp = R.dtype
+
+    # dynamics eval
+    Re, pe = pll.se3_exp(xi * dt)
+    fqR, fqp = pll.se3_compose(R, p, Re, pe)
+    fqR = pll.so3_normalize(fqR)
+    Jxi = pll.matvec(Jl_ref[:], xi, 6)
+    w = xi[:3]
+    v = xi[3:]
+    wr_top = -_cross(w, Jxi[:3]) - _cross(v, Jxi[3:])
+    wr_bot = -_cross(w, Jxi[3:])
+    wrench = jnp.concatenate([wr_top, wr_bot], axis=0) + u
+    fxi = xi + dt * pll.matvec(Jil_ref[:], wrench, 6)
+
+    # defect d = [Log(q_{i+1}^-1 fq); fxi - xi_{i+1}]
+    Rni, pni = pll.se3_inverse(qRn_ref[0], qpn_ref[0])
+    Rd, pd = pll.se3_compose(Rni, pni, fqR, fqp)
+    d_pose = pll.se3_log(Rd, pd)
+    d = jnp.concatenate([d_pose, fxi - xin_ref[0]], axis=0)
+
+    # dynamics Jacobian
+    tau = xi * dt
+    ReN, peN = pll.se3_exp(-tau)
+    J_q_q = pll.se3_Ad(ReN, peN)
+    J_q_xi = pll.se3_right_jacobian(tau) * dt
+    # H with the reference coad-swap quirk: coad of [v, w]-swapped twist
+    # coad(eta) = ad(eta)^T = [[-hat(ew), -hat(ev)], [0, -hat(ew)]],
+    # applied to the [v, w]-SWAPPED twist (reference quirk #1)
+    eta_w = v
+    eta_v = w
+    coad_sw = pll.blk(-pll.hat(eta_w), -pll.hat(eta_v),
+                      jnp.zeros((3, 3, B), dtp), -pll.hat(eta_w))
+    Ibw = pll.matvec3(Jl_ref[0:3, 0:3, :], w)
+    m = Jl_ref[4, 4, :]
+    Gw = pll.hat(Ibw)
+    Gv = m[None, None, :] * pll.hat(v)
+    G = pll.blk(Gw, Gv, Gv, jnp.zeros((3, 3, B), dtp))
+    H = pll.matmul(Jil_ref[:], pll.matmul(coad_sw, Jl_ref[:], 6) + G, 6)
+    eye6 = pll.blk(pll._eye3(dtp, B), jnp.zeros((3, 3, B), dtp),
+                   jnp.zeros((3, 3, B), dtp), pll._eye3(dtp, B))
+    Fx = pll.blk(J_q_q, J_q_xi, jnp.zeros((6, 6, B), dtp), eye6 + H * dt)
+
+    # cost quadratization
+    Reb, peb = pll.se3_compose(R, p, RbiR_ref[0], Rbip_ref[0])
+    e = pll.se3_log(Reb, peb)
+    ev = xi - xib_ref[0]
+    Jex = pll.matmul(pll.se3_right_jacobian_inv(e), Adb_ref[0], 6)
+    JT2 = 2.0 * pll.transpose(Jex)
+    W1 = W1_ref[:]
+    W2 = W2_ref[:]
+    W1e = pll.matvec(W1, e, 6)
+    lx_pose = pll.matvec(JT2, W1e, 6)
+    lx_vel = 2.0 * pll.matvec(W2, ev, 6)
+    lx = jnp.concatenate([lx_pose, lx_vel], axis=0)
+    H_e = pll.matmul(pll.matmul(JT2, W1, 6), Jex, 6)
+    lxx = pll.blk(H_e, jnp.zeros((6, 6, B), dtp),
+                  jnp.zeros((6, 6, B), dtp), 2.0 * W2)
+    l_val = sum(e[i] * W1e[i] for i in range(6)) \
+        + sum(ev[i] * pll.matvec(W2, ev, 6)[i] for i in range(6))
+
+    fqR_ref[0] = fqR
+    fqp_ref[0] = fqp
+    fxi_ref[0] = fxi
+    d_ref[0] = d
+    Fx_ref[0] = Fx
+    lx_ref[0] = lx
+    lxx_ref[0] = lxx
+    l_ref[0] = l_val[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "interpret"))
+def pallas_linearize(qs, xis, us, q_ref_inv, Ad_ref, xi_ref, Jm, Jinv,
+                     W1, W2, dt, interpret=False):
+    """Fused stage linearization (se3 free body + GN tracking cost).
+
+    Solver-layout inputs: qs (B,N+1,4,4), xis (B,N+1,6), us (B,N,6);
+    reference data q_ref_inv (N+1,4,4), Ad_ref (N+1,6,6), xi_ref (N+1,6);
+    constants Jm/Jinv/W1/W2 (6,6); dt static.
+
+    Returns dict(fq, fxi, d, Fx, lx, lxx, l) in solver layout for stages
+    0..N-1 (terminal quadratization stays outside).
+    """
+    B, Np1 = qs.shape[0], qs.shape[1]
+    N = Np1 - 1
+    dtp = qs.dtype
+
+    tl = lambda x: jnp.moveaxis(x, 0, -1)
+    qR = tl(qs[:, :, :3, :3])
+    qp = tl(qs[:, :, :3, 3])
+    ref = lambda x: jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:])
+    RbiR = jnp.moveaxis(ref(q_ref_inv[:-1, :3, :3]), 1, -1)
+    Rbip = jnp.moveaxis(ref(q_ref_inv[:-1, :3, 3]), 1, -1)
+    Adb = jnp.moveaxis(ref(Ad_ref[:-1]), 1, -1)
+    xib = jnp.moveaxis(ref(xi_ref[:-1]), 1, -1)
+
+    args = dict(
+        qR=qR[:-1], qp=qp[:-1], qRn=qR[1:], qpn=qp[1:],
+        xi=tl(xis)[:-1], xin=tl(xis)[1:], u=tl(us),
+        RbiR=RbiR, Rbip=Rbip, Adb=Adb, xib=xib,
+    )
+    lanes = lambda M: jnp.broadcast_to(jnp.asarray(M, dtp)[:, :, None], (6, 6, B))
+    consts = [lanes(Jm), lanes(Jinv), lanes(W1), lanes(W2)]
+
+    def spec(a):
+        return pl.BlockSpec((1,) + a.shape[1:],
+                            lambda i: (i,) + (0,) * (len(a.shape) - 1))
+
+    in_specs = [spec(a) for a in args.values()] + \
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+    out_shapes = (
+        jax.ShapeDtypeStruct((N, 3, 3, B), dtp),   # fqR
+        jax.ShapeDtypeStruct((N, 3, B), dtp),      # fqp
+        jax.ShapeDtypeStruct((N, 6, B), dtp),      # fxi
+        jax.ShapeDtypeStruct((N, 12, B), dtp),     # d
+        jax.ShapeDtypeStruct((N, 12, 12, B), dtp),  # Fx
+        jax.ShapeDtypeStruct((N, 12, B), dtp),     # lx
+        jax.ShapeDtypeStruct((N, 12, 12, B), dtp),  # lxx
+        jax.ShapeDtypeStruct((N, 1, B), dtp),      # l
+    )
+    out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
+
+    kernel = functools.partial(_linearize_kernel, dt=float(dt))
+    fqR, fqp, fxi, d, Fx, lx, lxx, l = pl.pallas_call(
+        kernel, grid=(N,), out_shape=out_shapes,
+        in_specs=in_specs, out_specs=out_specs,
+        interpret=interpret,
+    )(*args.values(), *consts)
+
+    bk = lambda x: jnp.moveaxis(x, -1, 0)
+    fq = jnp.zeros((B, N, 4, 4), dtp)
+    fq = fq.at[:, :, :3, :3].set(bk(fqR))
+    fq = fq.at[:, :, :3, 3].set(bk(fqp))
+    fq = fq.at[:, :, 3, 3].set(1.0)
+    return dict(fq=fq, fxi=bk(fxi), d=bk(d), Fx=bk(Fx), lx=bk(lx),
+                lxx=bk(lxx), l=bk(l)[..., 0])

@@ -25,6 +25,9 @@ from trajectory_optimization_matrix_lie_groups_tpu.models.base import LieModel
 from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_riccati import (
     pallas_backward,
 )
+from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_linearize import (
+    pallas_linearize,
+)
 from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_rollout import (
     pallas_rollout,
 )
@@ -47,19 +50,26 @@ class FastBatchSolver:
 
     def __init__(self, model: LieModel, N: int, iterations: int,
                  use_pallas: bool = True, interpret: bool = False,
-                 pallas_rollout_dt: float = None):
+                 pallas_rollout_dt: float = None,
+                 use_pallas_linearize: bool = False):
         """`pallas_rollout_dt`: pass the (static) time step to additionally
-        run the gap-closing rollout as a Pallas kernel — valid only for the
-        free SE(3) body (`se3_dynamics`), whose step the kernel implements."""
+        run the gap-closing rollout as a Pallas kernel; set
+        `use_pallas_linearize` to also fuse the stage linearization +
+        quadratization into a kernel.  Both are valid only for the free
+        SE(3) body (`se3_dynamics`) + GN tracking cost, whose math the
+        kernels implement."""
         self.model = model
         self.N = N
         self.iterations = iterations
         self.use_pallas = use_pallas
         self.interpret = interpret
         self.pallas_rollout_dt = pallas_rollout_dt
+        self.pallas_linearize = use_pallas_linearize
         self._solve_jit = jax.jit(self._solve)
 
     def _linearize(self, params, qs, xis, us):
+        if self.pallas_linearize:
+            return self._linearize_pallas(params, qs, xis, us)
         model = self.model
         N = self.N
         idx = jnp.arange(N)
@@ -77,6 +87,35 @@ class FastBatchSolver:
             Lx=jnp.concatenate([Lx, LNx[:, None]], axis=1),
             Lu=Lu,
             Lxx=jnp.concatenate([Lxx, LNxx[:, None]], axis=1),
+            Lux=Lux, Luu=Luu,
+        )
+
+    def _linearize_pallas(self, params, qs, xis, us):
+        """Fused stage linearization kernel (se3 free body + GN tracking)."""
+        model = self.model
+        N = self.N
+        dp = params["dyn"]
+        cp = params["cost"]
+        out = pallas_linearize(qs, xis, us, cp.q_ref_inv, cp.Ad_ref, cp.xi_ref,
+                               dp.J, dp.Jinv, cp.Q1, cp.Q2,
+                               self.pallas_rollout_dt,
+                               interpret=self.interpret)
+        B = qs.shape[0]
+        nu = us.shape[-1]
+        dtp = us.dtype
+        l_u_term = jnp.einsum("...i,ij,...j->...", us, cp.R, us)
+        Lu = 2.0 * jnp.einsum("ij,...j->...i", cp.R, us)
+        Luu = jnp.broadcast_to(2.0 * cp.R, (B, N, nu, nu))
+        Lux = jnp.zeros((B, N, nu, 12), dtp)
+        Fu = jnp.concatenate([jnp.zeros_like(dp.Jinv), dp.Jinv], axis=-2) * dp.dt
+        Fu = jnp.broadcast_to(Fu, (B, N, 12, nu))
+        LN, LNx, LNxx = model.term_quad(params, qs[:, -1], xis[:, -1], N)
+        return dict(
+            fq=out["fq"], fxi=out["fxi"], Fx=out["Fx"], Fu=Fu, d=out["d"],
+            L=jnp.concatenate([out["l"] + l_u_term, LN[:, None]], axis=1),
+            Lx=jnp.concatenate([out["lx"], LNx[:, None]], axis=1),
+            Lu=Lu,
+            Lxx=jnp.concatenate([out["lxx"], LNxx[:, None]], axis=1),
             Lux=Lux, Luu=Luu,
         )
 
