@@ -1,0 +1,388 @@
+"""Fully lane-layout Pallas MS-iLQR pipeline (fastest path).
+
+`FastBatchSolver` with the three kernels still pays per-iteration layout
+conversions: each kernel wants (stage, ..., B) "lane layout" while the
+solver state lives in (B, stage, ...) — moveaxis copies of the 29 MB
+Jacobian/Hessian tensors every call.  This solver keeps EVERYTHING in lane
+layout across the whole solve: the rollout kernel's outputs feed the
+linearizer feeds the Riccati kernel with no transposes; conversion happens
+once at entry/exit.
+
+Further specializations vs the generic kernels:
+  - Fu and Luu are constants for the SE(3) free body + GN tracking cost
+    (Lux = 0): the Riccati kernel takes them as single non-gridded VMEM
+    inputs instead of (N, ...) arrays;
+  - Exp(d_q) and f(x)^-1 are computed in-kernel by the rollout (no XLA
+    pre-pass).
+
+Scope: se3_dynamics + GN tracking cost, fixed iteration budget, mu = 0 —
+the MPC/throughput configuration (same iterates as FastBatchSolver; see
+tests/test_pipeline.py).
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trajectory_optimization_matrix_lie_groups_tpu.ops import pallas_lie as pll
+from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_linearize import (
+    _linearize_kernel,
+)
+
+NX, NU = 12, 6
+
+
+def _cross(a, b):
+    return pll._vec([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ])
+
+
+# -- Riccati backward, const-Fu/Luu specialization ---------------------------
+
+def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
+                          lxN_ref, lxxN_ref, Fu_ref, Luu_ref,
+                          k_ref, K_ref, Vx1_ref, Vxx1_ref, Vx_s, Vxx_s):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        Vx_s[:] = lxN_ref[:]
+        Vxx_s[:] = lxxN_ref[:]
+
+    fx = Fx_ref[0]
+    fu = Fu_ref[:]
+    dd = d_ref[0]
+    Vx = Vx_s[:]
+    Vxx = Vxx_s[:]
+
+    fxT = pll.transpose(fx)
+    fuT = pll.transpose(fu)
+    Vmod = Vx + pll.matvec(Vxx, dd, NX)
+    Qx = lx_ref[0] + pll.matvec(fxT, Vmod, NX)
+    Qu = lu_ref[0] + pll.matvec(fuT, Vmod, NX)
+    VF = pll.matmul(Vxx, fx, NX)
+    Qxx = lxx_ref[0] + pll.matmul(fxT, VF, NX)
+    Qux = pll.matmul(fuT, VF, NX)                       # Lux = 0
+    Quu = Luu_ref[:] + pll.matmul(fuT, pll.matmul(Vxx, fu, NX), NX)
+
+    # lane-batched 6x6 Cholesky + solves (unrolled)
+    L = [[None] * NU for _ in range(NU)]
+    for j in range(NU):
+        s = Quu[j, j, :]
+        for kk in range(j):
+            s = s - L[j][kk] * L[j][kk]
+        L[j][j] = jnp.sqrt(s)
+        inv = 1.0 / L[j][j]
+        for i2 in range(j + 1, NU):
+            s = Quu[i2, j, :]
+            for kk in range(j):
+                s = s - L[i2][kk] * L[j][kk]
+            L[i2][j] = s * inv
+
+    def chol_solve(Bm):
+        Y = [None] * NU
+        for i2 in range(NU):
+            s = Bm[i2]
+            for kk in range(i2):
+                s = s - L[i2][kk][None, :] * Y[kk]
+            Y[i2] = s / L[i2][i2][None, :]
+        X = [None] * NU
+        for i2 in reversed(range(NU)):
+            s = Y[i2]
+            for kk in range(i2 + 1, NU):
+                s = s - L[kk][i2][None, :] * X[kk]
+            X[i2] = s / L[i2][i2][None, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (NU, 1, 1), 0)
+        out = jnp.zeros_like(Bm)
+        for i2 in range(NU):
+            out = out + (rows == i2).astype(Bm.dtype) * X[i2][None, :, :]
+        return out
+
+    K = -chol_solve(Qux)
+    k = -chol_solve(Qu[:, None, :])[:, 0, :]
+
+    KT = pll.transpose(K)
+    QuxT = pll.transpose(Qux)
+    KTQuu = pll.matmul(KT, Quu, NU)
+    Vx_new = (Qx + pll.matvec(KTQuu, k, NU) + pll.matvec(KT, Qu, NU)
+              + pll.matvec(QuxT, k, NU))
+    Vxx_new = (Qxx + pll.matmul(KTQuu, K, NU) + pll.matmul(KT, Qux, NU)
+               + pll.matmul(QuxT, K, NU))
+    Vxx_new = 0.5 * (Vxx_new + pll.transpose(Vxx_new))
+
+    k_ref[0] = k
+    K_ref[0] = K
+    Vx1_ref[0] = Vx
+    Vxx1_ref[0] = Vxx
+    Vx_s[:] = Vx_new
+    Vxx_s[:] = Vxx_new
+
+
+# -- rollout, lane-native with in-kernel Exp(d)/f^-1 -------------------------
+
+def _rollout_kernel_lane(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
+                         u_ref, k_ref, K_ref, d_ref, fqR_ref, fqp_ref,
+                         fxi_ref, Jl_ref, Jil_ref,
+                         oR_ref, op_ref, oxi_ref, ou_ref,
+                         R_s, p_s, xi_s, *, dt):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        R_s[:] = qR_ref[0]
+        p_s[:] = qp_ref[0]
+        xi_s[:] = xi_ref[0]
+
+    R_new, p_new, xi_new = R_s[:], p_s[:], xi_s[:]
+    Ri_inv, pi_inv = pll.se3_inverse(qR_ref[0], qp_ref[0])
+    Re, pe = pll.se3_compose(Ri_inv, pi_inv, R_new, p_new)
+    xs_err = jnp.concatenate([pll.se3_log(Re, pe), xi_new - xi_ref[0]], axis=0)
+
+    K = K_ref[0]
+    u_new = u_ref[0] + k_ref[0] + sum(
+        K[:, j, :] * xs_err[j:j + 1, :] for j in range(NX))
+
+    ReE, peE = pll.se3_exp(xi_new * dt)
+    fqR_n, fqp_n = pll.se3_compose(R_new, p_new, ReE, peE)
+    fqR_n = pll.so3_normalize(fqR_n)
+    Jxi = pll.matvec(Jl_ref[:], xi_new, 6)
+    w, v = xi_new[:3], xi_new[3:]
+    wrench = jnp.concatenate(
+        [-_cross(w, Jxi[:3]) - _cross(v, Jxi[3:]), -_cross(w, Jxi[3:])],
+        axis=0) + u_new
+    fxi_new = xi_new + dt * pll.matvec(Jil_ref[:], wrench, 6)
+
+    d = d_ref[0]
+    edR, edp = pll.se3_exp(d[:6])
+    fiR, fip = pll.se3_inverse(fqR_ref[0], fqp_ref[0])
+    R_a, p_a = pll.se3_compose(qRn_ref[0], qpn_ref[0], edR, edp)
+    R_b, p_b = pll.se3_compose(R_a, p_a, fiR, fip)
+    R_nn, p_nn = pll.se3_compose(R_b, p_b, fqR_n, fqp_n)
+    R_nn = pll.so3_normalize(R_nn)
+    xi_nn = xin_ref[0] + fxi_new - fxi_ref[0] + d[6:]
+
+    oR_ref[0] = R_nn
+    op_ref[0] = p_nn
+    oxi_ref[0] = xi_nn
+    ou_ref[0] = u_new
+    R_s[:] = R_nn
+    p_s[:] = p_nn
+    xi_s[:] = xi_nn
+
+
+class PipelineState(NamedTuple):
+    qs: jnp.ndarray    # (B, N+1, 4, 4)
+    xis: jnp.ndarray
+    us: jnp.ndarray
+    J_opt: jnp.ndarray
+    grad_norm: jnp.ndarray
+
+
+class PallasPipelineSolver:
+    """End-to-end lane-layout 3-kernel MS-iLQR."""
+
+    def __init__(self, N: int, iterations: int, dt: float,
+                 interpret: bool = False):
+        self.N = N
+        self.iterations = iterations
+        self.dt = float(dt)
+        self.interpret = interpret
+        self._solve_jit = jax.jit(self._solve)
+
+    # kernels operating purely in lane layout ------------------------------
+
+    def _linearize_lane(self, qR, qp, xi, us, refs, consts):
+        N = self.N
+        dtp = us.dtype
+        B = us.shape[-1]
+        args = dict(
+            qR=qR[:-1], qp=qp[:-1], qRn=qR[1:], qpn=qp[1:],
+            xi=xi[:-1], xin=xi[1:], u=us,
+            RbiR=refs["RbiR"], Rbip=refs["Rbip"], Adb=refs["Adb"],
+            xib=refs["xib"],
+        )
+
+        def spec(a):
+            return pl.BlockSpec((1,) + a.shape[1:],
+                                lambda i: (i,) + (0,) * (len(a.shape) - 1))
+
+        in_specs = [spec(a) for a in args.values()] + \
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        out_shapes = (
+            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),
+            jax.ShapeDtypeStruct((N, 3, B), dtp),
+            jax.ShapeDtypeStruct((N, 6, B), dtp),
+            jax.ShapeDtypeStruct((N, 12, B), dtp),
+            jax.ShapeDtypeStruct((N, 12, 12, B), dtp),
+            jax.ShapeDtypeStruct((N, 12, B), dtp),
+            jax.ShapeDtypeStruct((N, 12, 12, B), dtp),
+            jax.ShapeDtypeStruct((N, 1, B), dtp),
+        )
+        out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
+        kernel = functools.partial(_linearize_kernel, dt=self.dt)
+        fqR, fqp, fxi, d, Fx, lx, lxx, l = pl.pallas_call(
+            kernel, grid=(N,), out_shape=out_shapes, in_specs=in_specs,
+            out_specs=out_specs, interpret=self.interpret,
+        )(*args.values(), consts["Jl"], consts["Jil"], consts["W1"],
+          consts["W2"])
+        return dict(fqR=fqR, fqp=fqp, fxi=fxi, d=d, Fx=Fx, lx=lx, lxx=lxx, l=l)
+
+    def _backward_lane(self, lin, lu, lxN, lxxN, consts):
+        N = self.N
+        dtp = lu.dtype
+        B = lu.shape[-1]
+
+        def spec(a):
+            # backward recursion: grid step i processes stage N-1-i
+            return pl.BlockSpec((1,) + a.shape[1:],
+                                lambda i: (N - 1 - i,) + (0,) * (len(a.shape) - 1))
+
+        ins = [lin["Fx"], lin["d"], lin["lx"], lu, lin["lxx"]]
+        in_specs = [spec(a) for a in ins] + \
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        out_shapes = (
+            jax.ShapeDtypeStruct((N, NU, B), dtp),
+            jax.ShapeDtypeStruct((N, NU, NX, B), dtp),
+            jax.ShapeDtypeStruct((N, NX, B), dtp),
+            jax.ShapeDtypeStruct((N, NX, NX, B), dtp),
+        )
+        out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
+        k, K, Vx1, Vxx1 = pl.pallas_call(
+            _riccati_kernel_const, grid=(N,), out_shape=out_shapes,
+            in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((NX, B), dtp),
+                            pltpu.VMEM((NX, NX, B), dtp)],
+            interpret=self.interpret,
+        )(*ins, lxN, lxxN, consts["Fu"], consts["Luu"])
+        return k, K, Vx1, Vxx1
+
+    def _rollout_lane(self, qR, qp, xi, us, k, K, lin, consts):
+        N = self.N
+        dtp = us.dtype
+        B = us.shape[-1]
+
+        def spec(a):
+            return pl.BlockSpec((1,) + a.shape[1:],
+                                lambda i: (i,) + (0,) * (len(a.shape) - 1))
+
+        ins = [qR[:-1], qp[:-1], qR[1:], qp[1:], xi[:-1], xi[1:], us, k, K,
+               lin["d"], lin["fqR"], lin["fqp"], lin["fxi"]]
+        in_specs = [spec(a) for a in ins] + \
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        out_shapes = (
+            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),
+            jax.ShapeDtypeStruct((N, 3, B), dtp),
+            jax.ShapeDtypeStruct((N, 6, B), dtp),
+            jax.ShapeDtypeStruct((N, 6, B), dtp),
+        )
+        out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
+        kernel = functools.partial(_rollout_kernel_lane, dt=self.dt)
+        oR, op, oxi, ou = pl.pallas_call(
+            kernel, grid=(N,), out_shape=out_shapes, in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((3, 3, B), dtp),
+                            pltpu.VMEM((3, B), dtp),
+                            pltpu.VMEM((6, B), dtp)],
+            interpret=self.interpret,
+        )(*ins, consts["Jl"], consts["Jil"])
+        qR_new = jnp.concatenate([qR[:1], oR], axis=0)
+        qp_new = jnp.concatenate([qp[:1], op], axis=0)
+        xi_new = jnp.concatenate([xi[:1], oxi], axis=0)
+        return qR_new, qp_new, xi_new, ou
+
+    # ----------------------------------------------------------------------
+
+    def _solve(self, dyn, cost, q0s, xi0s, us0):
+        """dyn: SE3Params; cost: TrackingCostParams; solver-layout inputs."""
+        B = q0s.shape[0]
+        N = self.N
+        dtp = us0.dtype
+        lanes66 = lambda M: jnp.broadcast_to(jnp.asarray(M, dtp)[:, :, None],
+                                             (6, 6, B))
+        Fu_c = jnp.concatenate(
+            [jnp.zeros_like(dyn.Jinv), dyn.Jinv], axis=-2) * dyn.dt  # (12,6)
+        consts = dict(
+            Jl=lanes66(dyn.J), Jil=lanes66(dyn.Jinv),
+            W1=lanes66(cost.Q1), W2=lanes66(cost.Q2),
+            Fu=jnp.broadcast_to(jnp.asarray(Fu_c, dtp)[:, :, None], (12, 6, B)),
+            Luu=lanes66(2.0 * cost.R),
+        )
+        ref = lambda x: jnp.moveaxis(
+            jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:]), 1, -1)
+        refs = dict(
+            RbiR=ref(cost.q_ref_inv[:-1, :3, :3]),
+            Rbip=ref(cost.q_ref_inv[:-1, :3, 3]),
+            Adb=ref(cost.Ad_ref[:-1]),
+            xib=ref(cost.xi_ref[:-1]),
+        )
+
+        # initial lane-layout state: x0 + reference tail
+        q_ref_b = jnp.broadcast_to(cost.q_ref[1:][:, None],
+                                   (N, B, 4, 4))
+        qR = jnp.concatenate([jnp.moveaxis(q0s[None, :, :3, :3], 1, -1),
+                              jnp.moveaxis(q_ref_b[:, :, :3, :3], 1, -1)], axis=0)
+        qp = jnp.concatenate([jnp.moveaxis(q0s[None, :, :3, 3], 1, -1),
+                              jnp.moveaxis(q_ref_b[:, :, :3, 3], 1, -1)], axis=0)
+        xi_ref_b = jnp.broadcast_to(cost.xi_ref[1:][:, None], (N, B, 6))
+        xi = jnp.concatenate([jnp.moveaxis(xi0s[None], 1, -1),
+                              jnp.moveaxis(xi_ref_b, 1, -1)], axis=0)
+        us = jnp.moveaxis(us0, 0, -1)  # (N, 6, B)
+
+        # terminal quadratization (lane layout, computed per iteration)
+        def term_quad(qR, qp, xi):
+            RbiR_N = ref(cost.q_ref_inv[-1:, :3, :3])[0]
+            Rbip_N = ref(cost.q_ref_inv[-1:, :3, 3])[0]
+            Adb_N = ref(cost.Ad_ref[-1:])[0]
+            xib_N = ref(cost.xi_ref[-1:])[0]
+            Re, pe = pll.se3_compose(qR[-1], qp[-1], RbiR_N, Rbip_N)
+            e = pll.se3_log(Re, pe)
+            ev = xi[-1] - xib_N
+            W1N = lanes66(cost.P1)
+            W2N = lanes66(cost.P2)
+            Jex = pll.matmul(pll.se3_right_jacobian_inv(e), Adb_N, 6)
+            JT2 = 2.0 * pll.transpose(Jex)
+            W1e = pll.matvec(W1N, e, 6)
+            lxN = jnp.concatenate([pll.matvec(JT2, W1e, 6),
+                                   2.0 * pll.matvec(W2N, ev, 6)], axis=0)
+            H_e = pll.matmul(pll.matmul(JT2, W1N, 6), Jex, 6)
+            lxxN = pll.blk(H_e, jnp.zeros((6, 6, B), dtp),
+                           jnp.zeros((6, 6, B), dtp), 2.0 * W2N)
+            lN = (sum(e[i] * W1e[i] for i in range(6))
+                  + sum(ev[i] * pll.matvec(W2N, ev, 6)[i] for i in range(6)))
+            return lxN, lxxN, lN
+
+        def body(_, carry):
+            qR, qp, xi, us, J, g = carry
+            lin = self._linearize_lane(qR, qp, xi, us, refs, consts)
+            lu = 2.0 * jnp.einsum("ij,njb->nib", cost.R.astype(dtp), us)
+            lxN, lxxN, lN = term_quad(qR, qp, xi)
+            k, K, Vx1, Vxx1 = self._backward_lane(lin, lu, lxN, lxxN, consts)
+            # gradient: g_t = lu + Fu^T (Vx1 + Vxx1 d)
+            Vmod = Vx1 + jnp.einsum("nijb,njb->nib", Vxx1, lin["d"])
+            gvec = lu + jnp.einsum("jib,njb->nib", consts["Fu"], Vmod)
+            g = jnp.mean(jnp.sqrt(jnp.sum(gvec * gvec, axis=1)), axis=0)
+            J = jnp.sum(lin["l"][:, 0, :], axis=0) + \
+                jnp.einsum("nib,ij,njb->b", us, cost.R.astype(dtp), us) + lN
+            qR, qp, xi, us = self._rollout_lane(qR, qp, xi, us, k, K, lin, consts)
+            return qR, qp, xi, us, J, g
+
+        init = (qR, qp, xi, us, jnp.full((B,), jnp.inf, dtp),
+                jnp.full((B,), jnp.inf, dtp))
+        qR, qp, xi, us, J, g = lax.fori_loop(0, self.iterations, body, init)
+
+        # back to solver layout
+        bk = lambda x: jnp.moveaxis(x, -1, 0)
+        qs = jnp.zeros((B, N + 1, 4, 4), dtp)
+        qs = qs.at[:, :, :3, :3].set(bk(qR))
+        qs = qs.at[:, :, :3, 3].set(bk(qp))
+        qs = qs.at[:, :, 3, 3].set(1.0)
+        return PipelineState(qs=qs, xis=bk(xi), us=bk(us), J_opt=J,
+                             grad_norm=g)
+
+    def solve(self, dyn, cost, q0s, xi0s, us0):
+        return self._solve_jit(dyn, cost, jnp.asarray(q0s), jnp.asarray(xi0s),
+                               jnp.asarray(us0))
