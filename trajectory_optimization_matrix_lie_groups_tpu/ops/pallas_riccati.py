@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NX = 12
-NU = 6
+NU = 6  # default control dim; pallas_backward takes the actual nu from shapes
 
 
 def _matmul(A, B, m):
@@ -60,16 +60,16 @@ def _transpose(A):
     return jnp.swapaxes(A, 0, 1)
 
 
-def _chol(Quu):
-    """Lane-batched 6x6 Cholesky, fully unrolled (L[i][j] are (BT,) vectors)."""
-    L = [[None] * NU for _ in range(NU)]
-    for j in range(NU):
+def _chol(Quu, nu=NU):
+    """Lane-batched nu x nu Cholesky, fully unrolled (L[i][j] are (BT,) vectors)."""
+    L = [[None] * nu for _ in range(nu)]
+    for j in range(nu):
         s = Quu[j, j, :]
         for kk in range(j):
             s = s - L[j][kk] * L[j][kk]
         L[j][j] = jnp.sqrt(s)
         inv = 1.0 / L[j][j]
-        for i in range(j + 1, NU):
+        for i in range(j + 1, nu):
             s = Quu[i, j, :]
             for kk in range(j):
                 s = s - L[i][kk] * L[j][kk]
@@ -77,25 +77,25 @@ def _chol(Quu):
     return L
 
 
-def _chol_solve_mat(L, B):
-    """Solve (L L^T) X = B for B (6, p, BT) without stack/concat."""
-    Y = [None] * NU
-    for i in range(NU):
+def _chol_solve_mat(L, B, nu=NU):
+    """Solve (L L^T) X = B for B (nu, p, BT) without stack/concat."""
+    Y = [None] * nu
+    for i in range(nu):
         s = B[i, :, :]
         for kk in range(i):
             s = s - L[i][kk][None, :] * Y[kk]
         Y[i] = s / L[i][i][None, :]
-    X = [None] * NU
-    for i in reversed(range(NU)):
+    X = [None] * nu
+    for i in reversed(range(nu)):
         s = Y[i]
-        for kk in range(i + 1, NU):
+        for kk in range(i + 1, nu):
             s = s - L[kk][i][None, :] * X[kk]
         X[i] = s / L[i][i][None, :]
     # assemble via broadcast-add (avoids jnp.stack / scatter, which Mosaic
     # does not lower)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (NU, 1, 1), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nu, 1, 1), 0)
     out = jnp.zeros_like(B)
-    for i in range(NU):
+    for i in range(nu):
         onehot = (rows == i).astype(B.dtype)
         out = out + onehot * X[i][None, :, :]
     return out
@@ -104,7 +104,7 @@ def _chol_solve_mat(L, B):
 def _riccati_kernel(fx_ref, fu_ref, d_ref, lx_ref, lu_ref, lxx_ref, lux_ref,
                     luu_ref, lxN_ref, lxxN_ref,
                     k_ref, K_ref, Vx1_ref, Vxx1_ref,
-                    Vx_s, Vxx_s):
+                    Vx_s, Vxx_s, *, nu):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         Vx_s[:] = lxN_ref[:]
@@ -126,17 +126,17 @@ def _riccati_kernel(fx_ref, fu_ref, d_ref, lx_ref, lu_ref, lxx_ref, lux_ref,
     Qux = lux_ref[0] + _matmul(fuT, VF, NX)
     Quu = luu_ref[0] + _matmul(fuT, _matmul(Vxx, fu, NX), NX)
 
-    L = _chol(Quu)
-    K = -_chol_solve_mat(L, Qux)                      # (6, 12, BT)
-    k = -_chol_solve_mat(L, Qu[:, None, :])[:, 0, :]  # (6, BT)
+    L = _chol(Quu, nu)
+    K = -_chol_solve_mat(L, Qux, nu)                      # (nu, 12, BT)
+    k = -_chol_solve_mat(L, Qu[:, None, :], nu)[:, 0, :]  # (nu, BT)
 
     KT = _transpose(K)
     QuxT = _transpose(Qux)
-    KTQuu = _matmul(KT, Quu, NU)
-    Vx_new = (Qx + _matvec(KTQuu, k, NU) + _matvec(KT, Qu, NU)
-              + _matvec(QuxT, k, NU))
-    Vxx_new = (Qxx + _matmul(KTQuu, K, NU) + _matmul(KT, Qux, NU)
-               + _matmul(QuxT, K, NU))
+    KTQuu = _matmul(KT, Quu, nu)
+    Vx_new = (Qx + _matvec(KTQuu, k, nu) + _matvec(KT, Qu, nu)
+              + _matvec(QuxT, k, nu))
+    Vxx_new = (Qxx + _matmul(KTQuu, K, nu) + _matmul(KT, Qux, nu)
+               + _matmul(QuxT, K, nu))
     Vxx_new = 0.5 * (Vxx_new + _transpose(Vxx_new))
 
     k_ref[0] = k
@@ -156,6 +156,7 @@ def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False):
     Luu (B,N,6,6).  Returns (k, K, Vx1, Vxx1) in solver layout.
     """
     B, N = Fx.shape[0], Fx.shape[1]
+    nu = Fu.shape[-1]
     dt = Fx.dtype
 
     def to_lanes(x):
@@ -173,8 +174,8 @@ def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False):
     full_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
 
     out_shapes = (
-        jax.ShapeDtypeStruct((N, NU, B), dt),
-        jax.ShapeDtypeStruct((N, NU, NX, B), dt),
+        jax.ShapeDtypeStruct((N, nu, B), dt),
+        jax.ShapeDtypeStruct((N, nu, NX, B), dt),
         jax.ShapeDtypeStruct((N, NX, B), dt),
         jax.ShapeDtypeStruct((N, NX, NX, B), dt),
     )
@@ -183,7 +184,7 @@ def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False):
     )
 
     k_l, K_l, Vx1_l, Vxx1_l = pl.pallas_call(
-        _riccati_kernel,
+        functools.partial(_riccati_kernel, nu=nu),
         grid=(N,),
         out_shape=out_shapes,
         in_specs=stage_specs + full_specs,
