@@ -40,3 +40,14 @@ def test_pallas_matches_parallel_backward():
     np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_r), atol=1e-10)
     np.testing.assert_allclose(np.asarray(Vx_p), np.asarray(Vx_r), atol=1e-9)
     np.testing.assert_allclose(np.asarray(Vxx_p), np.asarray(Vxx_r), atol=1e-9)
+
+
+def test_pallas_batch_tile():
+    """2D (batch_tile, stage) grid gives identical results to the full-batch
+    grid; each tile re-initializes the VMEM value-function carry."""
+    args = _random_problem(jax.random.PRNGKey(3), B=6, N=9)
+    interpret = jax.default_backend() != "tpu"
+    full = pallas_backward(*args, interpret=interpret)
+    tiled = pallas_backward(*args, interpret=interpret, batch_tile=2)
+    for a, b in zip(full, tiled):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)

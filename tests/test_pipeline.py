@@ -49,3 +49,39 @@ def test_pipeline_matches_fast_batch():
                                atol=5e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out.J_opt), np.asarray(ref.J_opt),
                                rtol=1e-4)
+
+
+def test_pipeline_batch_tile():
+    """(batch_tile, stage) grid reproduces the full-batch pipeline exactly."""
+    data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    H, B, ITERS = 20, 4, 3
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    cp = cp._replace(q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+                     Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))
+    params = {**params, "cost": cp}
+    to32 = lambda t: jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, t)
+    params = to32(params)
+    cp = params["cost"]
+    dp = params["dyn"]
+
+    key = jax.random.PRNGKey(7)
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+
+    dq = 0.05 * jax.random.normal(key, (B, 6), dtype=jnp.float32)
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6))
+    us0s = jnp.zeros((B, H, 6), jnp.float32)
+
+    interp = jax.default_backend() != "tpu"
+    full = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                                interpret=interp)
+    tiled = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                                 interpret=interp, batch_tile=2)
+    a = full.solve(dp, cp, q0s, xi0s, us0s)
+    b = tiled.solve(dp, cp, q0s, xi0s, us0s)
+    np.testing.assert_allclose(np.asarray(a.us), np.asarray(b.us), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.J_opt), np.asarray(b.J_opt),
+                               atol=1e-12)

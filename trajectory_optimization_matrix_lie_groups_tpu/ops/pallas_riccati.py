@@ -105,7 +105,9 @@ def _riccati_kernel(fx_ref, fu_ref, d_ref, lx_ref, lu_ref, lxx_ref, lux_ref,
                     luu_ref, lxN_ref, lxxN_ref,
                     k_ref, K_ref, Vx1_ref, Vxx1_ref,
                     Vx_s, Vxx_s, *, nu):
-    @pl.when(pl.program_id(0) == 0)
+    # grid = (batch_tiles, N): stage recursion rides dim 1; a fresh batch
+    # tile (stage index 0) re-initializes the value-function carry.
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         Vx_s[:] = lxN_ref[:]
         Vxx_s[:] = lxxN_ref[:]
@@ -147,17 +149,27 @@ def _riccati_kernel(fx_ref, fu_ref, d_ref, lx_ref, lu_ref, lxx_ref, lux_ref,
     Vxx_s[:] = Vxx_new
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "batch_tile"))
+def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False,
+                    batch_tile=None):
     """Batched Riccati backward (mu = 0) via the Pallas grid-pipeline kernel.
 
     Inputs in solver layout: Fx (B,N,12,12), Fu (B,N,12,6), d (B,N,12),
     Lx (B,N+1,12), Lu (B,N,6), Lxx (B,N+1,12,12), Lux (B,N,6,12),
     Luu (B,N,6,6).  Returns (k, K, Vx1, Vxx1) in solver layout.
+
+    ``batch_tile`` (static, divides B): lanes per grid step.  The grid is
+    (B // batch_tile, N); each batch tile sweeps the full backward recursion
+    before the next tile starts, so VMEM holds one tile's blocks instead of
+    the whole batch (needed for B > ~512 at f32).
     """
     B, N = Fx.shape[0], Fx.shape[1]
     nu = Fu.shape[-1]
     dt = Fx.dtype
+    bt = B if batch_tile is None else batch_tile
+    if B % bt:
+        raise ValueError(f"batch {B} not divisible by batch_tile {bt}")
+    nb = B // bt
 
     def to_lanes(x):
         return jnp.moveaxis(x, 0, -1)  # (B, N, ...) -> (N, ..., B)
@@ -167,11 +179,16 @@ def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False):
     lxN = jnp.moveaxis(Lx[:, -1], 0, -1)      # (12, B)
     lxxN = jnp.moveaxis(Lxx[:, -1], 0, -1)    # (12, 12, B)
 
-    rev = lambda s: (lambda i: (N - 1 - i,) + (0,) * (len(s) - 1))
+    rev = lambda s: (lambda b, i: (N - 1 - i,) + (0,) * (len(s) - 2) + (b,))
+    tile = lambda s: (lambda b, i: (0,) * (len(s) - 1) + (b,))
     stage_specs = [
-        pl.BlockSpec((1,) + a.shape[1:], rev(a.shape)) for a in stage_args
+        pl.BlockSpec((1,) + a.shape[1:-1] + (bt,), rev(a.shape))
+        for a in stage_args
     ]
-    full_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    term_specs = [
+        pl.BlockSpec(lxN.shape[:-1] + (bt,), tile(lxN.shape)),
+        pl.BlockSpec(lxxN.shape[:-1] + (bt,), tile(lxxN.shape)),
+    ]
 
     out_shapes = (
         jax.ShapeDtypeStruct((N, nu, B), dt),
@@ -180,18 +197,19 @@ def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False):
         jax.ShapeDtypeStruct((N, NX, NX, B), dt),
     )
     out_specs = tuple(
-        pl.BlockSpec((1,) + s.shape[1:], rev(s.shape)) for s in out_shapes
+        pl.BlockSpec((1,) + s.shape[1:-1] + (bt,), rev(s.shape))
+        for s in out_shapes
     )
 
     k_l, K_l, Vx1_l, Vxx1_l = pl.pallas_call(
         functools.partial(_riccati_kernel, nu=nu),
-        grid=(N,),
+        grid=(nb, N),
         out_shape=out_shapes,
-        in_specs=stage_specs + full_specs,
+        in_specs=stage_specs + term_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((NX, B), dt),
-            pltpu.VMEM((NX, NX, B), dt),
+            pltpu.VMEM((NX, bt), dt),
+            pltpu.VMEM((NX, NX, bt), dt),
         ],
         interpret=interpret,
     )(*stage_args, lxN, lxxN)

@@ -50,7 +50,8 @@ def _cross(a, b):
 def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
                           lxN_ref, lxxN_ref, Fu_ref, Luu_ref,
                           k_ref, K_ref, Vx1_ref, Vxx1_ref, Vx_s, Vxx_s):
-    @pl.when(pl.program_id(0) == 0)
+    # grid = (batch_tiles, N): stage recursion on dim 1, carry re-inits per tile
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         Vx_s[:] = lxN_ref[:]
         Vxx_s[:] = lxxN_ref[:]
@@ -131,7 +132,7 @@ def _rollout_kernel_lane(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
                          fxi_ref, Jl_ref, Jil_ref,
                          oR_ref, op_ref, oxi_ref, ou_ref,
                          R_s, p_s, xi_s, *, dt):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         R_s[:] = qR_ref[0]
         p_s[:] = qp_ref[0]
@@ -186,12 +187,22 @@ class PallasPipelineSolver:
     """End-to-end lane-layout 3-kernel MS-iLQR."""
 
     def __init__(self, N: int, iterations: int, dt: float,
-                 interpret: bool = False):
+                 interpret: bool = False, batch_tile: int = None):
+        """``batch_tile`` (divides B): lanes per kernel grid step.  Kernels
+        run on a (B // batch_tile, N) grid so VMEM holds one tile's blocks
+        instead of the whole batch — required for B > ~512 at f32."""
         self.N = N
         self.iterations = iterations
         self.dt = float(dt)
         self.interpret = interpret
+        self.batch_tile = batch_tile
         self._solve_jit = jax.jit(self._solve)
+
+    def _tiles(self, B):
+        bt = B if self.batch_tile is None else self.batch_tile
+        if B % bt:
+            raise ValueError(f"batch {B} not divisible by batch_tile {bt}")
+        return B // bt, bt
 
     # kernels operating purely in lane layout ------------------------------
 
@@ -199,6 +210,7 @@ class PallasPipelineSolver:
         N = self.N
         dtp = us.dtype
         B = us.shape[-1]
+        nb, bt = self._tiles(B)
         args = dict(
             qR=qR[:-1], qp=qp[:-1], qRn=qR[1:], qpn=qp[1:],
             xi=xi[:-1], xin=xi[1:], u=us,
@@ -207,11 +219,18 @@ class PallasPipelineSolver:
         )
 
         def spec(a):
-            return pl.BlockSpec((1,) + a.shape[1:],
-                                lambda i: (i,) + (0,) * (len(a.shape) - 1))
+            r = len(a.shape)
+            return pl.BlockSpec((1,) + a.shape[1:-1] + (bt,),
+                                lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
+
+        def cspec(a):
+            r = len(a.shape)
+            return pl.BlockSpec(a.shape[:-1] + (bt,),
+                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
 
         in_specs = [spec(a) for a in args.values()] + \
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+            [cspec(consts["Jl"]), cspec(consts["Jil"]),
+             cspec(consts["W1"]), cspec(consts["W2"])]
         out_shapes = (
             jax.ShapeDtypeStruct((N, 3, 3, B), dtp),
             jax.ShapeDtypeStruct((N, 3, B), dtp),
@@ -225,7 +244,7 @@ class PallasPipelineSolver:
         out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
         kernel = functools.partial(_linearize_kernel, dt=self.dt)
         fqR, fqp, fxi, d, Fx, lx, lxx, l = pl.pallas_call(
-            kernel, grid=(N,), out_shape=out_shapes, in_specs=in_specs,
+            kernel, grid=(nb, N), out_shape=out_shapes, in_specs=in_specs,
             out_specs=out_specs, interpret=self.interpret,
         )(*args.values(), consts["Jl"], consts["Jil"], consts["W1"],
           consts["W2"])
@@ -235,15 +254,24 @@ class PallasPipelineSolver:
         N = self.N
         dtp = lu.dtype
         B = lu.shape[-1]
+        nb, bt = self._tiles(B)
 
         def spec(a):
             # backward recursion: grid step i processes stage N-1-i
-            return pl.BlockSpec((1,) + a.shape[1:],
-                                lambda i: (N - 1 - i,) + (0,) * (len(a.shape) - 1))
+            r = len(a.shape)
+            return pl.BlockSpec(
+                (1,) + a.shape[1:-1] + (bt,),
+                lambda b, i, r=r: (N - 1 - i,) + (0,) * (r - 2) + (b,))
+
+        def cspec(a):
+            r = len(a.shape)
+            return pl.BlockSpec(a.shape[:-1] + (bt,),
+                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
 
         ins = [lin["Fx"], lin["d"], lin["lx"], lu, lin["lxx"]]
         in_specs = [spec(a) for a in ins] + \
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+            [cspec(lxN), cspec(lxxN), cspec(consts["Fu"]),
+             cspec(consts["Luu"])]
         out_shapes = (
             jax.ShapeDtypeStruct((N, NU, B), dtp),
             jax.ShapeDtypeStruct((N, NU, NX, B), dtp),
@@ -252,10 +280,10 @@ class PallasPipelineSolver:
         )
         out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
         k, K, Vx1, Vxx1 = pl.pallas_call(
-            _riccati_kernel_const, grid=(N,), out_shape=out_shapes,
+            _riccati_kernel_const, grid=(nb, N), out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((NX, B), dtp),
-                            pltpu.VMEM((NX, NX, B), dtp)],
+            scratch_shapes=[pltpu.VMEM((NX, bt), dtp),
+                            pltpu.VMEM((NX, NX, bt), dtp)],
             interpret=self.interpret,
         )(*ins, lxN, lxxN, consts["Fu"], consts["Luu"])
         return k, K, Vx1, Vxx1
@@ -264,15 +292,22 @@ class PallasPipelineSolver:
         N = self.N
         dtp = us.dtype
         B = us.shape[-1]
+        nb, bt = self._tiles(B)
 
         def spec(a):
-            return pl.BlockSpec((1,) + a.shape[1:],
-                                lambda i: (i,) + (0,) * (len(a.shape) - 1))
+            r = len(a.shape)
+            return pl.BlockSpec((1,) + a.shape[1:-1] + (bt,),
+                                lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
+
+        def cspec(a):
+            r = len(a.shape)
+            return pl.BlockSpec(a.shape[:-1] + (bt,),
+                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
 
         ins = [qR[:-1], qp[:-1], qR[1:], qp[1:], xi[:-1], xi[1:], us, k, K,
                lin["d"], lin["fqR"], lin["fqp"], lin["fxi"]]
         in_specs = [spec(a) for a in ins] + \
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            [cspec(consts["Jl"]), cspec(consts["Jil"])]
         out_shapes = (
             jax.ShapeDtypeStruct((N, 3, 3, B), dtp),
             jax.ShapeDtypeStruct((N, 3, B), dtp),
@@ -282,11 +317,11 @@ class PallasPipelineSolver:
         out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
         kernel = functools.partial(_rollout_kernel_lane, dt=self.dt)
         oR, op, oxi, ou = pl.pallas_call(
-            kernel, grid=(N,), out_shape=out_shapes, in_specs=in_specs,
+            kernel, grid=(nb, N), out_shape=out_shapes, in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((3, 3, B), dtp),
-                            pltpu.VMEM((3, B), dtp),
-                            pltpu.VMEM((6, B), dtp)],
+            scratch_shapes=[pltpu.VMEM((3, 3, bt), dtp),
+                            pltpu.VMEM((3, bt), dtp),
+                            pltpu.VMEM((6, bt), dtp)],
             interpret=self.interpret,
         )(*ins, consts["Jl"], consts["Jil"])
         qR_new = jnp.concatenate([qR[:1], oR], axis=0)
