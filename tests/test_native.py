@@ -1,0 +1,73 @@
+"""Native (C++) serial MS-iLQR runtime vs golden and the JAX engine."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from trajectory_optimization_matrix_lie_groups_tpu import native
+import bench
+
+pytestmark = pytest.mark.skipif(native.LIB is None,
+                                reason="no native toolchain")
+
+
+def _problem(horizon):
+    data = bench.load_benchmark_pickle(bench.PKL)
+    prob = data["prob"]
+    q_ref = np.asarray(prob["q_ref"])[: horizon + 1]
+    xi_ref = np.asarray(prob["xi_ref"]).reshape(-1, 6)[: horizon + 1]
+    return prob, q_ref, xi_ref
+
+
+def test_native_matches_golden():
+    prob, q_ref, xi_ref = _problem(200)
+    q0 = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_q0.npy"))
+    xi0 = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_xi0.npy"))
+    us_golden = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_us.npy"))
+    s = native.NativeSE3Solver(prob["J"], prob["dt"], prob["Q"], prob["R"],
+                               prob["P"], q_ref, xi_ref, iterations=12)
+    us, J, g = s.solve(q0, xi0)
+    # same iterate sequence as FastBatchSolver f64 at 12 iterations (1.1e-6
+    # from the fully-converged golden)
+    assert np.max(np.abs(us - us_golden)) < 3e-6
+    assert abs(J - 1027.66452) < 1e-3
+    assert g < 1e-8
+
+
+def test_native_matches_jax_engine():
+    """Per-iterate agreement with FastBatchSolver (f64) on a short horizon."""
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import (
+        FastBatchSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    import jax
+
+    H, ITERS, B = 40, 6, 2
+    data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    params = {**params, "cost": cp._replace(
+        q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+        Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))}
+    cp = params["cost"]
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(2), (B, 6))
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6))
+    fast = FastBatchSolver(solver.model, N=H, iterations=ITERS,
+                           use_pallas=False)
+    ref = fast.solve(params, q0s, xi0s, jnp.zeros((B, H, 6)),
+                     cp.q_ref, cp.xi_ref)
+
+    prob = data["prob"]
+    s = native.NativeSE3Solver(prob["J"], prob["dt"], prob["Q"], prob["R"],
+                               prob["P"], np.asarray(cp.q_ref),
+                               np.asarray(cp.xi_ref), iterations=ITERS)
+    us, J, g = s.solve_batch(np.asarray(q0s), np.asarray(xi0s))
+    np.testing.assert_allclose(us, np.asarray(ref.us), atol=1e-8)
+    np.testing.assert_allclose(J, np.asarray(ref.J_opt), rtol=1e-10)
