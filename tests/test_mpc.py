@@ -39,3 +39,50 @@ def test_closed_loop_mpc_tracks_path():
     assert float(jnp.linalg.norm(eT)) < 0.5 * float(jnp.linalg.norm(e0)), (
         f"e0={np.asarray(e0)}, eT={np.asarray(eT)}"
     )
+
+
+def test_mpc_f32_closed_loop_fidelity():
+    """Open-loop f32 controls carry ~1e-3 noise in flat-in-u directions
+    (sigma_min(Quu) ~ 2R = 2e-5, see STATUS.md), but the closed loop is
+    insensitive: the f32 plant trajectory matches f64 to ~1e-5."""
+    import dataclasses
+    import os
+
+    import numpy as np
+
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import LieILQR
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.mpc import (
+        make_closed_loop,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    import jax
+
+    H, T, ITERS = 30, 25, 5
+
+    def run(dtype):
+        data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+        cfg = dataclasses.replace(solver.cfg, N=H, max_iterations=ITERS,
+                                  tol_grad_norm=0.0, tol_d_norm=0.0,
+                                  backward="sequential_fixed")
+        eng = LieILQR(solver.model, cfg)
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(dtype) if hasattr(x, "dtype")
+            and jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        params = cast(params)
+        q0 = cast(jnp.asarray(np.asarray(params["cost"].q_ref[0])))
+        xi0 = cast(jnp.asarray(np.asarray(params["cost"].xi_ref[0]))
+                   + 0.05 * jnp.arange(6, dtype=dtype))
+        return make_closed_loop(eng, T)(params, q0, xi0)
+
+    out32 = run(jnp.float32)
+    out64 = run(jnp.float64)
+    e = se3.log(jnp.asarray(out32.qs, jnp.float64)
+                @ se3.inverse(jnp.asarray(out64.qs, jnp.float64)))
+    assert float(np.max(np.abs(np.asarray(e)))) < 1e-4
+    dxi = np.max(np.abs(np.asarray(out32.xis, np.float64)
+                        - np.asarray(out64.xis)))
+    assert dxi < 1e-4
