@@ -85,3 +85,42 @@ def test_pipeline_batch_tile():
     np.testing.assert_allclose(np.asarray(a.us), np.asarray(b.us), atol=1e-12)
     np.testing.assert_allclose(np.asarray(a.J_opt), np.asarray(b.J_opt),
                                atol=1e-12)
+
+
+def test_pipeline_drone_gravity():
+    """Drone family (nu=4, gravity, Pu projection) through all 3 kernels."""
+    data, solver, params, x0, us0, _ = build_benchmark("drone_racing", True)
+    H, B, ITERS = 25, 3, 4
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    cp = cp._replace(q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+                     Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))
+    params = {**params, "cost": cp}
+    to32 = lambda t: jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, t)
+    params = to32(params)
+    cp = params["cost"]
+    dp = params["dyn"]
+
+    key = jax.random.PRNGKey(3)
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+
+    dq = 0.03 * jax.random.normal(key, (B, 6), dtype=jnp.float32)
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6))
+    us0s = jnp.zeros((B, H, 4), jnp.float32)
+
+    interp = jax.default_backend() != "tpu"
+    fast = FastBatchSolver(solver.model, N=H, iterations=ITERS,
+                           use_pallas=False)
+    ref = fast.solve(params, q0s, xi0s, us0s, cp.q_ref, cp.xi_ref)
+
+    pipe = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                                interpret=interp, gravity=True)
+    out = pipe.solve(dp, cp, q0s, xi0s, us0s)
+
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us),
+                               atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.J_opt), np.asarray(ref.J_opt),
+                               rtol=1e-4)

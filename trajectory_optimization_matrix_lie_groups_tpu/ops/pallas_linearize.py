@@ -38,9 +38,14 @@ def _cross(a, b):
 
 def _linearize_kernel(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
                       u_ref, RbiR_ref, Rbip_ref, Adb_ref, xib_ref,
-                      Jl_ref, Jil_ref, W1_ref, W2_ref,
+                      Jl_ref, Jil_ref, W1_ref, W2_ref, Pu_ref, mg_ref,
                       fqR_ref, fqp_ref, fxi_ref, d_ref, Fx_ref, lx_ref,
-                      lxx_ref, l_ref, *, dt):
+                      lxx_ref, l_ref, *, dt, gravity=False, exact_grav=False):
+    """``gravity``/``exact_grav`` (static) select the rigid-body/drone family
+    (models/dynamics.py:287-315): wrench gains m g R^T down, the input enters
+    through the (6, nu) projection Pu, and Fx gains the J_xi_q block (built
+    WITHOUT the m g factor unless ``exact_grav`` — reference quirk #2,
+    traopt_dynamics.py:1121-1134)."""
     R = qR_ref[0]
     p = qp_ref[0]
     xi = xi_ref[0]
@@ -57,7 +62,14 @@ def _linearize_kernel(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
     v = xi[3:]
     wr_top = -_cross(w, Jxi[:3]) - _cross(v, Jxi[3:])
     wr_bot = -_cross(w, Jxi[3:])
-    wrench = jnp.concatenate([wr_top, wr_bot], axis=0) + u
+    nu = u.shape[0]
+    wrench = jnp.concatenate([wr_top, wr_bot], axis=0) \
+        + pll.matvec(Pu_ref[:], u, nu)
+    if gravity:
+        # down = (0, 0, -1): R^T down = -(third row of R)
+        g_lin = -mg_ref[0][None, :] * R[2]
+        wrench = wrench + jnp.concatenate(
+            [jnp.zeros_like(g_lin), g_lin], axis=0)
     fxi = xi + dt * pll.matvec(Jil_ref[:], wrench, 6)
 
     # defect d = [Log(q_{i+1}^-1 fq); fxi - xi_{i+1}]
@@ -86,7 +98,14 @@ def _linearize_kernel(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
     H = pll.matmul(Jil_ref[:], pll.matmul(coad_sw, Jl_ref[:], 6) + G, 6)
     eye6 = pll.blk(pll._eye3(dtp, B), jnp.zeros((3, 3, B), dtp),
                    jnp.zeros((3, 3, B), dtp), pll._eye3(dtp, B))
-    Fx = pll.blk(J_q_q, J_q_xi, jnp.zeros((6, 6, B), dtp), eye6 + H * dt)
+    if gravity:
+        grow = -R[2] if not exact_grav else -(mg_ref[0][None, :] * R[2])
+        Z3 = jnp.zeros((3, 3, B), dtp)
+        J_xi_q = pll.matmul(Jil_ref[:],
+                            pll.blk(Z3, Z3, pll.hat(grow), Z3), 6) * dt
+    else:
+        J_xi_q = jnp.zeros((6, 6, B), dtp)
+    Fx = pll.blk(J_q_q, J_q_xi, J_xi_q, eye6 + H * dt)
 
     # cost quadratization
     Reb, peb = pll.se3_compose(R, p, RbiR_ref[0], Rbip_ref[0])
@@ -116,9 +135,11 @@ def _linearize_kernel(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
     l_ref[0] = l_val[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("dt", "interpret"))
+@functools.partial(jax.jit, static_argnames=("dt", "interpret", "gravity",
+                                              "exact_grav"))
 def pallas_linearize(qs, xis, us, q_ref_inv, Ad_ref, xi_ref, Jm, Jinv,
-                     W1, W2, dt, interpret=False):
+                     W1, W2, dt, interpret=False, Pu=None, mg=None,
+                     gravity=False, exact_grav=False):
     """Fused stage linearization (se3 free body + GN tracking cost).
 
     Solver-layout inputs: qs (B,N+1,4,4), xis (B,N+1,6), us (B,N,6);
@@ -146,15 +167,22 @@ def pallas_linearize(qs, xis, us, q_ref_inv, Ad_ref, xi_ref, Jm, Jinv,
         xi=tl(xis)[:-1], xin=tl(xis)[1:], u=tl(us),
         RbiR=RbiR, Rbip=Rbip, Adb=Adb, xib=xib,
     )
-    lanes = lambda M: jnp.broadcast_to(jnp.asarray(M, dtp)[:, :, None], (6, 6, B))
-    consts = [lanes(Jm), lanes(Jinv), lanes(W1), lanes(W2)]
+    nu = us.shape[-1]
+    lanes = lambda M: jnp.broadcast_to(
+        jnp.asarray(M, dtp)[..., None], jnp.asarray(M).shape + (B,))
+    if Pu is None:
+        Pu = jnp.eye(6, dtype=dtp)
+    if mg is None:
+        mg = jnp.zeros((), dtp)
+    consts = [lanes(Jm), lanes(Jinv), lanes(W1), lanes(W2), lanes(Pu),
+              jnp.broadcast_to(jnp.asarray(mg, dtp), (1, B))]
 
     def spec(a):
         return pl.BlockSpec((1,) + a.shape[1:],
                             lambda i: (i,) + (0,) * (len(a.shape) - 1))
 
     in_specs = [spec(a) for a in args.values()] + \
-        [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
     out_shapes = (
         jax.ShapeDtypeStruct((N, 3, 3, B), dtp),   # fqR
         jax.ShapeDtypeStruct((N, 3, B), dtp),      # fqp
@@ -167,7 +195,8 @@ def pallas_linearize(qs, xis, us, q_ref_inv, Ad_ref, xi_ref, Jm, Jinv,
     )
     out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
 
-    kernel = functools.partial(_linearize_kernel, dt=float(dt))
+    kernel = functools.partial(_linearize_kernel, dt=float(dt),
+                               gravity=gravity, exact_grav=exact_grav)
     fqR, fqp, fxi, d, Fx, lx, lxx, l = pl.pallas_call(
         kernel, grid=(N,), out_shape=out_shapes,
         in_specs=in_specs, out_specs=out_specs,

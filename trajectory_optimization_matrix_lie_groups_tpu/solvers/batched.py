@@ -51,7 +51,8 @@ class FastBatchSolver:
     def __init__(self, model: LieModel, N: int, iterations: int,
                  use_pallas: bool = True, interpret: bool = False,
                  pallas_rollout_dt: float = None,
-                 use_pallas_linearize: bool = False):
+                 use_pallas_linearize: bool = False,
+                 batch_tile: int = None):
         """`pallas_rollout_dt`: pass the (static) time step to additionally
         run the gap-closing rollout as a Pallas kernel; set
         `use_pallas_linearize` to also fuse the stage linearization +
@@ -65,6 +66,7 @@ class FastBatchSolver:
         self.interpret = interpret
         self.pallas_rollout_dt = pallas_rollout_dt
         self.pallas_linearize = use_pallas_linearize
+        self.batch_tile = batch_tile
         self._solve_jit = jax.jit(self._solve)
 
     def _linearize(self, params, qs, xis, us):
@@ -123,7 +125,8 @@ class FastBatchSolver:
         if self.use_pallas:
             return pallas_backward(lin["Fx"], lin["Fu"], lin["d"], lin["Lx"],
                                    lin["Lu"], lin["Lxx"], lin["Lux"],
-                                   lin["Luu"], interpret=self.interpret)
+                                   lin["Luu"], interpret=self.interpret,
+                                   batch_tile=self.batch_tile)
         # XLA fallback: scan over time with batched carry
         def step(carry, inp):
             Vx, Vxx = carry

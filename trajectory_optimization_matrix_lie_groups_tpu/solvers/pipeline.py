@@ -49,7 +49,8 @@ def _cross(a, b):
 
 def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
                           lxN_ref, lxxN_ref, Fu_ref, Luu_ref,
-                          k_ref, K_ref, Vx1_ref, Vxx1_ref, Vx_s, Vxx_s):
+                          k_ref, K_ref, Vx1_ref, Vxx1_ref, Vx_s, Vxx_s,
+                          *, nu=NU):
     # grid = (batch_tiles, N): stage recursion on dim 1, carry re-inits per tile
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -72,36 +73,36 @@ def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
     Qux = pll.matmul(fuT, VF, NX)                       # Lux = 0
     Quu = Luu_ref[:] + pll.matmul(fuT, pll.matmul(Vxx, fu, NX), NX)
 
-    # lane-batched 6x6 Cholesky + solves (unrolled)
-    L = [[None] * NU for _ in range(NU)]
-    for j in range(NU):
+    # lane-batched nu x nu Cholesky + solves (unrolled)
+    L = [[None] * nu for _ in range(nu)]
+    for j in range(nu):
         s = Quu[j, j, :]
         for kk in range(j):
             s = s - L[j][kk] * L[j][kk]
         L[j][j] = jnp.sqrt(s)
         inv = 1.0 / L[j][j]
-        for i2 in range(j + 1, NU):
+        for i2 in range(j + 1, nu):
             s = Quu[i2, j, :]
             for kk in range(j):
                 s = s - L[i2][kk] * L[j][kk]
             L[i2][j] = s * inv
 
     def chol_solve(Bm):
-        Y = [None] * NU
-        for i2 in range(NU):
+        Y = [None] * nu
+        for i2 in range(nu):
             s = Bm[i2]
             for kk in range(i2):
                 s = s - L[i2][kk][None, :] * Y[kk]
             Y[i2] = s / L[i2][i2][None, :]
-        X = [None] * NU
-        for i2 in reversed(range(NU)):
+        X = [None] * nu
+        for i2 in reversed(range(nu)):
             s = Y[i2]
-            for kk in range(i2 + 1, NU):
+            for kk in range(i2 + 1, nu):
                 s = s - L[kk][i2][None, :] * X[kk]
             X[i2] = s / L[i2][i2][None, :]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (NU, 1, 1), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nu, 1, 1), 0)
         out = jnp.zeros_like(Bm)
-        for i2 in range(NU):
+        for i2 in range(nu):
             out = out + (rows == i2).astype(Bm.dtype) * X[i2][None, :, :]
         return out
 
@@ -110,11 +111,11 @@ def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
 
     KT = pll.transpose(K)
     QuxT = pll.transpose(Qux)
-    KTQuu = pll.matmul(KT, Quu, NU)
-    Vx_new = (Qx + pll.matvec(KTQuu, k, NU) + pll.matvec(KT, Qu, NU)
-              + pll.matvec(QuxT, k, NU))
-    Vxx_new = (Qxx + pll.matmul(KTQuu, K, NU) + pll.matmul(KT, Qux, NU)
-               + pll.matmul(QuxT, K, NU))
+    KTQuu = pll.matmul(KT, Quu, nu)
+    Vx_new = (Qx + pll.matvec(KTQuu, k, nu) + pll.matvec(KT, Qu, nu)
+              + pll.matvec(QuxT, k, nu))
+    Vxx_new = (Qxx + pll.matmul(KTQuu, K, nu) + pll.matmul(KT, Qux, nu)
+               + pll.matmul(QuxT, K, nu))
     Vxx_new = 0.5 * (Vxx_new + pll.transpose(Vxx_new))
 
     k_ref[0] = k
@@ -129,9 +130,9 @@ def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
 
 def _rollout_kernel_lane(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
                          u_ref, k_ref, K_ref, d_ref, fqR_ref, fqp_ref,
-                         fxi_ref, Jl_ref, Jil_ref,
+                         fxi_ref, Jl_ref, Jil_ref, Pu_ref, mg_ref,
                          oR_ref, op_ref, oxi_ref, ou_ref,
-                         R_s, p_s, xi_s, *, dt):
+                         R_s, p_s, xi_s, *, dt, gravity=False):
     @pl.when(pl.program_id(1) == 0)
     def _init():
         R_s[:] = qR_ref[0]
@@ -152,9 +153,14 @@ def _rollout_kernel_lane(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
     fqR_n = pll.so3_normalize(fqR_n)
     Jxi = pll.matvec(Jl_ref[:], xi_new, 6)
     w, v = xi_new[:3], xi_new[3:]
+    nu = u_new.shape[0]
     wrench = jnp.concatenate(
         [-_cross(w, Jxi[:3]) - _cross(v, Jxi[3:]), -_cross(w, Jxi[3:])],
-        axis=0) + u_new
+        axis=0) + pll.matvec(Pu_ref[:], u_new, nu)
+    if gravity:
+        g_lin = -mg_ref[0][None, :] * R_new[2]
+        wrench = wrench + jnp.concatenate(
+            [jnp.zeros_like(g_lin), g_lin], axis=0)
     fxi_new = xi_new + dt * pll.matvec(Jil_ref[:], wrench, 6)
 
     d = d_ref[0]
@@ -187,15 +193,22 @@ class PallasPipelineSolver:
     """End-to-end lane-layout 3-kernel MS-iLQR."""
 
     def __init__(self, N: int, iterations: int, dt: float,
-                 interpret: bool = False, batch_tile: int = None):
+                 interpret: bool = False, batch_tile: int = None,
+                 gravity: bool = False, exact_gravity_jacobian: bool = False):
         """``batch_tile`` (divides B): lanes per kernel grid step.  Kernels
         run on a (B // batch_tile, N) grid so VMEM holds one tile's blocks
-        instead of the whole batch — required for B > ~512 at f32."""
+        instead of the whole batch — required for B > ~512 at f32.
+
+        ``gravity`` (static) selects the rigid-body/drone dynamics family:
+        pass `RigidBodyParams` as ``dyn`` (its Pu projection sets nu);
+        ``exact_gravity_jacobian`` matches the flag in models/dynamics.py."""
         self.N = N
         self.iterations = iterations
         self.dt = float(dt)
         self.interpret = interpret
         self.batch_tile = batch_tile
+        self.gravity = gravity
+        self.exact_grav = exact_gravity_jacobian
         self._solve_jit = jax.jit(self._solve)
 
     def _tiles(self, B):
@@ -230,7 +243,8 @@ class PallasPipelineSolver:
 
         in_specs = [spec(a) for a in args.values()] + \
             [cspec(consts["Jl"]), cspec(consts["Jil"]),
-             cspec(consts["W1"]), cspec(consts["W2"])]
+             cspec(consts["W1"]), cspec(consts["W2"]),
+             cspec(consts["Pu"]), cspec(consts["mg"])]
         out_shapes = (
             jax.ShapeDtypeStruct((N, 3, 3, B), dtp),
             jax.ShapeDtypeStruct((N, 3, B), dtp),
@@ -242,18 +256,21 @@ class PallasPipelineSolver:
             jax.ShapeDtypeStruct((N, 1, B), dtp),
         )
         out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
-        kernel = functools.partial(_linearize_kernel, dt=self.dt)
+        kernel = functools.partial(_linearize_kernel, dt=self.dt,
+                                   gravity=self.gravity,
+                                   exact_grav=self.exact_grav)
         fqR, fqp, fxi, d, Fx, lx, lxx, l = pl.pallas_call(
             kernel, grid=(nb, N), out_shape=out_shapes, in_specs=in_specs,
             out_specs=out_specs, interpret=self.interpret,
         )(*args.values(), consts["Jl"], consts["Jil"], consts["W1"],
-          consts["W2"])
+          consts["W2"], consts["Pu"], consts["mg"])
         return dict(fqR=fqR, fqp=fqp, fxi=fxi, d=d, Fx=Fx, lx=lx, lxx=lxx, l=l)
 
     def _backward_lane(self, lin, lu, lxN, lxxN, consts):
         N = self.N
         dtp = lu.dtype
         B = lu.shape[-1]
+        nu = lu.shape[-2]
         nb, bt = self._tiles(B)
 
         def spec(a):
@@ -273,14 +290,15 @@ class PallasPipelineSolver:
             [cspec(lxN), cspec(lxxN), cspec(consts["Fu"]),
              cspec(consts["Luu"])]
         out_shapes = (
-            jax.ShapeDtypeStruct((N, NU, B), dtp),
-            jax.ShapeDtypeStruct((N, NU, NX, B), dtp),
+            jax.ShapeDtypeStruct((N, nu, B), dtp),
+            jax.ShapeDtypeStruct((N, nu, NX, B), dtp),
             jax.ShapeDtypeStruct((N, NX, B), dtp),
             jax.ShapeDtypeStruct((N, NX, NX, B), dtp),
         )
         out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
         k, K, Vx1, Vxx1 = pl.pallas_call(
-            _riccati_kernel_const, grid=(nb, N), out_shape=out_shapes,
+            functools.partial(_riccati_kernel_const, nu=nu),
+            grid=(nb, N), out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((NX, bt), dtp),
                             pltpu.VMEM((NX, NX, bt), dtp)],
@@ -292,6 +310,7 @@ class PallasPipelineSolver:
         N = self.N
         dtp = us.dtype
         B = us.shape[-1]
+        nu = us.shape[-2]
         nb, bt = self._tiles(B)
 
         def spec(a):
@@ -307,15 +326,17 @@ class PallasPipelineSolver:
         ins = [qR[:-1], qp[:-1], qR[1:], qp[1:], xi[:-1], xi[1:], us, k, K,
                lin["d"], lin["fqR"], lin["fqp"], lin["fxi"]]
         in_specs = [spec(a) for a in ins] + \
-            [cspec(consts["Jl"]), cspec(consts["Jil"])]
+            [cspec(consts["Jl"]), cspec(consts["Jil"]),
+             cspec(consts["Pu"]), cspec(consts["mg"])]
         out_shapes = (
             jax.ShapeDtypeStruct((N, 3, 3, B), dtp),
             jax.ShapeDtypeStruct((N, 3, B), dtp),
             jax.ShapeDtypeStruct((N, 6, B), dtp),
-            jax.ShapeDtypeStruct((N, 6, B), dtp),
+            jax.ShapeDtypeStruct((N, nu, B), dtp),
         )
         out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
-        kernel = functools.partial(_rollout_kernel_lane, dt=self.dt)
+        kernel = functools.partial(_rollout_kernel_lane, dt=self.dt,
+                                   gravity=self.gravity)
         oR, op, oxi, ou = pl.pallas_call(
             kernel, grid=(nb, N), out_shape=out_shapes, in_specs=in_specs,
             out_specs=out_specs,
@@ -323,7 +344,7 @@ class PallasPipelineSolver:
                             pltpu.VMEM((3, bt), dtp),
                             pltpu.VMEM((6, bt), dtp)],
             interpret=self.interpret,
-        )(*ins, consts["Jl"], consts["Jil"])
+        )(*ins, consts["Jl"], consts["Jil"], consts["Pu"], consts["mg"])
         qR_new = jnp.concatenate([qR[:1], oR], axis=0)
         qp_new = jnp.concatenate([qp[:1], op], axis=0)
         xi_new = jnp.concatenate([xi[:1], oxi], axis=0)
@@ -335,16 +356,26 @@ class PallasPipelineSolver:
         """dyn: SE3Params; cost: TrackingCostParams; solver-layout inputs."""
         B = q0s.shape[0]
         N = self.N
+        nu = us0.shape[-1]
         dtp = us0.dtype
-        lanes66 = lambda M: jnp.broadcast_to(jnp.asarray(M, dtp)[:, :, None],
-                                             (6, 6, B))
+        lanes = lambda M: jnp.broadcast_to(
+            jnp.asarray(M, dtp)[..., None], jnp.asarray(M).shape + (B,))
+        lanes66 = lanes
+        Pu = getattr(dyn, "Pu", None)
+        if Pu is None:
+            Pu = jnp.eye(6, dtype=dtp)
+        mg = (dyn.m * dyn.g if self.gravity else jnp.zeros((), dtp))
+        bt6 = dyn.Jinv @ jnp.asarray(Pu, dtp)
         Fu_c = jnp.concatenate(
-            [jnp.zeros_like(dyn.Jinv), dyn.Jinv], axis=-2) * dyn.dt  # (12,6)
+            [jnp.zeros_like(bt6), bt6], axis=-2) * dyn.dt  # (12, nu)
         consts = dict(
             Jl=lanes66(dyn.J), Jil=lanes66(dyn.Jinv),
             W1=lanes66(cost.Q1), W2=lanes66(cost.Q2),
-            Fu=jnp.broadcast_to(jnp.asarray(Fu_c, dtp)[:, :, None], (12, 6, B)),
+            Fu=jnp.broadcast_to(jnp.asarray(Fu_c, dtp)[:, :, None],
+                                (12, nu, B)),
             Luu=lanes66(2.0 * cost.R),
+            Pu=lanes(Pu),
+            mg=jnp.broadcast_to(jnp.asarray(mg, dtp), (1, B)),
         )
         ref = lambda x: jnp.moveaxis(
             jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:]), 1, -1)
