@@ -124,3 +124,35 @@ def test_pipeline_drone_gravity():
                                atol=5e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out.J_opt), np.asarray(ref.J_opt),
                                rtol=1e-4)
+
+
+def test_pipeline_stage_chunk():
+    """chunk>1 grid (multi-stage blocks) reproduces chunk=1 exactly."""
+    data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    H, B, ITERS = 20, 2, 3
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    cp = cp._replace(q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+                     Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))
+    params = {**params, "cost": cp}
+    cp, dp = params["cost"], params["dyn"]
+
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+
+    # f64 so op-fusion rounding differences between the two unrollings do
+    # not mask exact algorithmic equivalence
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(11), (B, 6))
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6))
+    us0s = jnp.zeros((B, H, 6))
+
+    interp = jax.default_backend() != "tpu"
+    base = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                                interpret=interp)
+    chunked = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                                   interpret=interp, stage_chunk=4)
+    a = base.solve(dp, cp, q0s, xi0s, us0s)
+    b = chunked.solve(dp, cp, q0s, xi0s, us0s)
+    np.testing.assert_allclose(np.asarray(a.us), np.asarray(b.us), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(a.J_opt), np.asarray(b.J_opt),
+                               rtol=1e-10)

@@ -40,99 +40,102 @@ def _linearize_kernel(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
                       u_ref, RbiR_ref, Rbip_ref, Adb_ref, xib_ref,
                       Jl_ref, Jil_ref, W1_ref, W2_ref, Pu_ref, mg_ref,
                       fqR_ref, fqp_ref, fxi_ref, d_ref, Fx_ref, lx_ref,
-                      lxx_ref, l_ref, *, dt, gravity=False, exact_grav=False):
+                      lxx_ref, l_ref, *, dt, gravity=False, exact_grav=False,
+                      chunk=1):
     """``gravity``/``exact_grav`` (static) select the rigid-body/drone family
     (models/dynamics.py:287-315): wrench gains m g R^T down, the input enters
     through the (6, nu) projection Pu, and Fx gains the J_xi_q block (built
     WITHOUT the m g factor unless ``exact_grav`` — reference quirk #2,
-    traopt_dynamics.py:1121-1134)."""
-    R = qR_ref[0]
-    p = qp_ref[0]
-    xi = xi_ref[0]
-    u = u_ref[0]
-    B = R.shape[-1]
-    dtp = R.dtype
+    traopt_dynamics.py:1121-1134).  ``chunk`` stages are processed per grid
+    step (stage work is independent; bigger blocks amortize transfers)."""
+    for t in range(chunk):
+        R = qR_ref[t]
+        p = qp_ref[t]
+        xi = xi_ref[t]
+        u = u_ref[t]
+        B = R.shape[-1]
+        dtp = R.dtype
 
-    # dynamics eval
-    Re, pe = pll.se3_exp(xi * dt)
-    fqR, fqp = pll.se3_compose(R, p, Re, pe)
-    fqR = pll.so3_normalize(fqR)
-    Jxi = pll.matvec(Jl_ref[:], xi, 6)
-    w = xi[:3]
-    v = xi[3:]
-    wr_top = -_cross(w, Jxi[:3]) - _cross(v, Jxi[3:])
-    wr_bot = -_cross(w, Jxi[3:])
-    nu = u.shape[0]
-    wrench = jnp.concatenate([wr_top, wr_bot], axis=0) \
-        + pll.matvec(Pu_ref[:], u, nu)
-    if gravity:
-        # down = (0, 0, -1): R^T down = -(third row of R)
-        g_lin = -mg_ref[0][None, :] * R[2]
-        wrench = wrench + jnp.concatenate(
-            [jnp.zeros_like(g_lin), g_lin], axis=0)
-    fxi = xi + dt * pll.matvec(Jil_ref[:], wrench, 6)
+        # dynamics eval
+        Re, pe = pll.se3_exp(xi * dt)
+        fqR, fqp = pll.se3_compose(R, p, Re, pe)
+        fqR = pll.so3_normalize(fqR)
+        Jxi = pll.matvec(Jl_ref[:], xi, 6)
+        w = xi[:3]
+        v = xi[3:]
+        wr_top = -_cross(w, Jxi[:3]) - _cross(v, Jxi[3:])
+        wr_bot = -_cross(w, Jxi[3:])
+        nu = u.shape[0]
+        wrench = jnp.concatenate([wr_top, wr_bot], axis=0) \
+            + pll.matvec(Pu_ref[:], u, nu)
+        if gravity:
+            # down = (0, 0, -1): R^T down = -(third row of R)
+            g_lin = -mg_ref[0][None, :] * R[2]
+            wrench = wrench + jnp.concatenate(
+                [jnp.zeros_like(g_lin), g_lin], axis=0)
+        fxi = xi + dt * pll.matvec(Jil_ref[:], wrench, 6)
 
-    # defect d = [Log(q_{i+1}^-1 fq); fxi - xi_{i+1}]
-    Rni, pni = pll.se3_inverse(qRn_ref[0], qpn_ref[0])
-    Rd, pd = pll.se3_compose(Rni, pni, fqR, fqp)
-    d_pose = pll.se3_log(Rd, pd)
-    d = jnp.concatenate([d_pose, fxi - xin_ref[0]], axis=0)
+        # defect d = [Log(q_{i+1}^-1 fq); fxi - xi_{i+1}]
+        Rni, pni = pll.se3_inverse(qRn_ref[t], qpn_ref[t])
+        Rd, pd = pll.se3_compose(Rni, pni, fqR, fqp)
+        d_pose = pll.se3_log(Rd, pd)
+        d = jnp.concatenate([d_pose, fxi - xin_ref[t]], axis=0)
 
-    # dynamics Jacobian
-    tau = xi * dt
-    ReN, peN = pll.se3_exp(-tau)
-    J_q_q = pll.se3_Ad(ReN, peN)
-    J_q_xi = pll.se3_right_jacobian(tau) * dt
-    # H with the reference coad-swap quirk: coad of [v, w]-swapped twist
-    # coad(eta) = ad(eta)^T = [[-hat(ew), -hat(ev)], [0, -hat(ew)]],
-    # applied to the [v, w]-SWAPPED twist (reference quirk #1)
-    eta_w = v
-    eta_v = w
-    coad_sw = pll.blk(-pll.hat(eta_w), -pll.hat(eta_v),
-                      jnp.zeros((3, 3, B), dtp), -pll.hat(eta_w))
-    Ibw = pll.matvec3(Jl_ref[0:3, 0:3, :], w)
-    m = Jl_ref[4, 4, :]
-    Gw = pll.hat(Ibw)
-    Gv = m[None, None, :] * pll.hat(v)
-    G = pll.blk(Gw, Gv, Gv, jnp.zeros((3, 3, B), dtp))
-    H = pll.matmul(Jil_ref[:], pll.matmul(coad_sw, Jl_ref[:], 6) + G, 6)
-    eye6 = pll.blk(pll._eye3(dtp, B), jnp.zeros((3, 3, B), dtp),
-                   jnp.zeros((3, 3, B), dtp), pll._eye3(dtp, B))
-    if gravity:
-        grow = -R[2] if not exact_grav else -(mg_ref[0][None, :] * R[2])
-        Z3 = jnp.zeros((3, 3, B), dtp)
-        J_xi_q = pll.matmul(Jil_ref[:],
-                            pll.blk(Z3, Z3, pll.hat(grow), Z3), 6) * dt
-    else:
-        J_xi_q = jnp.zeros((6, 6, B), dtp)
-    Fx = pll.blk(J_q_q, J_q_xi, J_xi_q, eye6 + H * dt)
+        # dynamics Jacobian
+        tau = xi * dt
+        ReN, peN = pll.se3_exp(-tau)
+        J_q_q = pll.se3_Ad(ReN, peN)
+        J_q_xi = pll.se3_right_jacobian(tau) * dt
+        # H with the reference coad-swap quirk: coad of [v, w]-swapped twist
+        # coad(eta) = ad(eta)^T = [[-hat(ew), -hat(ev)], [0, -hat(ew)]],
+        # applied to the [v, w]-SWAPPED twist (reference quirk #1)
+        eta_w = v
+        eta_v = w
+        coad_sw = pll.blk(-pll.hat(eta_w), -pll.hat(eta_v),
+                          jnp.zeros((3, 3, B), dtp), -pll.hat(eta_w))
+        Ibw = pll.matvec3(Jl_ref[0:3, 0:3, :], w)
+        m = Jl_ref[4, 4, :]
+        Gw = pll.hat(Ibw)
+        Gv = m[None, None, :] * pll.hat(v)
+        G = pll.blk(Gw, Gv, Gv, jnp.zeros((3, 3, B), dtp))
+        H = pll.matmul(Jil_ref[:], pll.matmul(coad_sw, Jl_ref[:], 6) + G, 6)
+        eye6 = pll.blk(pll._eye3(dtp, B), jnp.zeros((3, 3, B), dtp),
+                       jnp.zeros((3, 3, B), dtp), pll._eye3(dtp, B))
+        if gravity:
+            grow = -R[2] if not exact_grav else -(mg_ref[0][None, :] * R[2])
+            Z3 = jnp.zeros((3, 3, B), dtp)
+            J_xi_q = pll.matmul(Jil_ref[:],
+                                pll.blk(Z3, Z3, pll.hat(grow), Z3), 6) * dt
+        else:
+            J_xi_q = jnp.zeros((6, 6, B), dtp)
+        Fx = pll.blk(J_q_q, J_q_xi, J_xi_q, eye6 + H * dt)
 
-    # cost quadratization
-    Reb, peb = pll.se3_compose(R, p, RbiR_ref[0], Rbip_ref[0])
-    e = pll.se3_log(Reb, peb)
-    ev = xi - xib_ref[0]
-    Jex = pll.matmul(pll.se3_right_jacobian_inv(e), Adb_ref[0], 6)
-    JT2 = 2.0 * pll.transpose(Jex)
-    W1 = W1_ref[:]
-    W2 = W2_ref[:]
-    W1e = pll.matvec(W1, e, 6)
-    lx_pose = pll.matvec(JT2, W1e, 6)
-    lx_vel = 2.0 * pll.matvec(W2, ev, 6)
-    lx = jnp.concatenate([lx_pose, lx_vel], axis=0)
-    H_e = pll.matmul(pll.matmul(JT2, W1, 6), Jex, 6)
-    lxx = pll.blk(H_e, jnp.zeros((6, 6, B), dtp),
-                  jnp.zeros((6, 6, B), dtp), 2.0 * W2)
-    l_val = sum(e[i] * W1e[i] for i in range(6)) \
-        + sum(ev[i] * pll.matvec(W2, ev, 6)[i] for i in range(6))
+        # cost quadratization
+        Reb, peb = pll.se3_compose(R, p, RbiR_ref[t], Rbip_ref[t])
+        e = pll.se3_log(Reb, peb)
+        ev = xi - xib_ref[t]
+        Jex = pll.matmul(pll.se3_right_jacobian_inv(e), Adb_ref[t], 6)
+        JT2 = 2.0 * pll.transpose(Jex)
+        W1 = W1_ref[:]
+        W2 = W2_ref[:]
+        W1e = pll.matvec(W1, e, 6)
+        lx_pose = pll.matvec(JT2, W1e, 6)
+        lx_vel = 2.0 * pll.matvec(W2, ev, 6)
+        lx = jnp.concatenate([lx_pose, lx_vel], axis=0)
+        H_e = pll.matmul(pll.matmul(JT2, W1, 6), Jex, 6)
+        lxx = pll.blk(H_e, jnp.zeros((6, 6, B), dtp),
+                      jnp.zeros((6, 6, B), dtp), 2.0 * W2)
+        l_val = sum(e[i] * W1e[i] for i in range(6)) \
+            + sum(ev[i] * pll.matvec(W2, ev, 6)[i] for i in range(6))
 
-    fqR_ref[0] = fqR
-    fqp_ref[0] = fqp
-    fxi_ref[0] = fxi
-    d_ref[0] = d
-    Fx_ref[0] = Fx
-    lx_ref[0] = lx
-    lxx_ref[0] = lxx
-    l_ref[0] = l_val[None, :]
+        fqR_ref[t] = fqR
+        fqp_ref[t] = fqp
+        fxi_ref[t] = fxi
+        d_ref[t] = d
+        Fx_ref[t] = Fx
+        lx_ref[t] = lx
+        lxx_ref[t] = lxx
+        l_ref[t] = l_val[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "interpret", "gravity",

@@ -50,80 +50,87 @@ def _cross(a, b):
 def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
                           lxN_ref, lxxN_ref, Fu_ref, Luu_ref,
                           k_ref, K_ref, Vx1_ref, Vxx1_ref, Vx_s, Vxx_s,
-                          *, nu=NU):
-    # grid = (batch_tiles, N): stage recursion on dim 1, carry re-inits per tile
+                          *, nu=NU, chunk=1):
+    # grid = (batch_tiles, N // chunk): the stage recursion rides dim 1 and
+    # each grid step processes ``chunk`` stages from one VMEM block (fewer,
+    # larger HBM<->VMEM transfers + less per-step grid overhead); a fresh
+    # batch tile re-initializes the value-function carry.
     @pl.when(pl.program_id(1) == 0)
     def _init():
         Vx_s[:] = lxN_ref[:]
         Vxx_s[:] = lxxN_ref[:]
 
-    fx = Fx_ref[0]
     fu = Fu_ref[:]
-    dd = d_ref[0]
+    fuT = pll.transpose(fu)
+    Luu = Luu_ref[:]
     Vx = Vx_s[:]
     Vxx = Vxx_s[:]
+    for t in reversed(range(chunk)):
+        fx = Fx_ref[t]
+        dd = d_ref[t]
 
-    fxT = pll.transpose(fx)
-    fuT = pll.transpose(fu)
-    Vmod = Vx + pll.matvec(Vxx, dd, NX)
-    Qx = lx_ref[0] + pll.matvec(fxT, Vmod, NX)
-    Qu = lu_ref[0] + pll.matvec(fuT, Vmod, NX)
-    VF = pll.matmul(Vxx, fx, NX)
-    Qxx = lxx_ref[0] + pll.matmul(fxT, VF, NX)
-    Qux = pll.matmul(fuT, VF, NX)                       # Lux = 0
-    Quu = Luu_ref[:] + pll.matmul(fuT, pll.matmul(Vxx, fu, NX), NX)
+        fxT = pll.transpose(fx)
+        Vmod = Vx + pll.matvec(Vxx, dd, NX)
+        Qx = lx_ref[t] + pll.matvec(fxT, Vmod, NX)
+        Qu = lu_ref[t] + pll.matvec(fuT, Vmod, NX)
+        VF = pll.matmul(Vxx, fx, NX)
+        Qxx = lxx_ref[t] + pll.matmul(fxT, VF, NX)
+        Qux = pll.matmul(fuT, VF, NX)                       # Lux = 0
+        Quu = Luu + pll.matmul(fuT, pll.matmul(Vxx, fu, NX), NX)
 
-    # lane-batched nu x nu Cholesky + solves (unrolled)
-    L = [[None] * nu for _ in range(nu)]
-    for j in range(nu):
-        s = Quu[j, j, :]
-        for kk in range(j):
-            s = s - L[j][kk] * L[j][kk]
-        L[j][j] = jnp.sqrt(s)
-        inv = 1.0 / L[j][j]
-        for i2 in range(j + 1, nu):
-            s = Quu[i2, j, :]
+        # lane-batched nu x nu Cholesky + solves (unrolled)
+        L = [[None] * nu for _ in range(nu)]
+        for j in range(nu):
+            sv = Quu[j, j, :]
             for kk in range(j):
-                s = s - L[i2][kk] * L[j][kk]
-            L[i2][j] = s * inv
+                sv = sv - L[j][kk] * L[j][kk]
+            L[j][j] = jnp.sqrt(sv)
+            inv = 1.0 / L[j][j]
+            for i2 in range(j + 1, nu):
+                sv = Quu[i2, j, :]
+                for kk in range(j):
+                    sv = sv - L[i2][kk] * L[j][kk]
+                L[i2][j] = sv * inv
 
-    def chol_solve(Bm):
-        Y = [None] * nu
-        for i2 in range(nu):
-            s = Bm[i2]
-            for kk in range(i2):
-                s = s - L[i2][kk][None, :] * Y[kk]
-            Y[i2] = s / L[i2][i2][None, :]
-        X = [None] * nu
-        for i2 in reversed(range(nu)):
-            s = Y[i2]
-            for kk in range(i2 + 1, nu):
-                s = s - L[kk][i2][None, :] * X[kk]
-            X[i2] = s / L[i2][i2][None, :]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (nu, 1, 1), 0)
-        out = jnp.zeros_like(Bm)
-        for i2 in range(nu):
-            out = out + (rows == i2).astype(Bm.dtype) * X[i2][None, :, :]
-        return out
+        def chol_solve(Bm):
+            Y = [None] * nu
+            for i2 in range(nu):
+                sv = Bm[i2]
+                for kk in range(i2):
+                    sv = sv - L[i2][kk][None, :] * Y[kk]
+                Y[i2] = sv / L[i2][i2][None, :]
+            X = [None] * nu
+            for i2 in reversed(range(nu)):
+                sv = Y[i2]
+                for kk in range(i2 + 1, nu):
+                    sv = sv - L[kk][i2][None, :] * X[kk]
+                X[i2] = sv / L[i2][i2][None, :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nu, 1, 1), 0)
+            out = jnp.zeros_like(Bm)
+            for i2 in range(nu):
+                out = out + (rows == i2).astype(Bm.dtype) * X[i2][None, :, :]
+            return out
 
-    K = -chol_solve(Qux)
-    k = -chol_solve(Qu[:, None, :])[:, 0, :]
+        K = -chol_solve(Qux)
+        k = -chol_solve(Qu[:, None, :])[:, 0, :]
 
-    KT = pll.transpose(K)
-    QuxT = pll.transpose(Qux)
-    KTQuu = pll.matmul(KT, Quu, nu)
-    Vx_new = (Qx + pll.matvec(KTQuu, k, nu) + pll.matvec(KT, Qu, nu)
-              + pll.matvec(QuxT, k, nu))
-    Vxx_new = (Qxx + pll.matmul(KTQuu, K, nu) + pll.matmul(KT, Qux, nu)
-               + pll.matmul(QuxT, K, nu))
-    Vxx_new = 0.5 * (Vxx_new + pll.transpose(Vxx_new))
+        KT = pll.transpose(K)
+        QuxT = pll.transpose(Qux)
+        KTQuu = pll.matmul(KT, Quu, nu)
+        Vx_new = (Qx + pll.matvec(KTQuu, k, nu) + pll.matvec(KT, Qu, nu)
+                  + pll.matvec(QuxT, k, nu))
+        Vxx_new = (Qxx + pll.matmul(KTQuu, K, nu) + pll.matmul(KT, Qux, nu)
+                   + pll.matmul(QuxT, K, nu))
+        Vxx_new = 0.5 * (Vxx_new + pll.transpose(Vxx_new))
 
-    k_ref[0] = k
-    K_ref[0] = K
-    Vx1_ref[0] = Vx
-    Vxx1_ref[0] = Vxx
-    Vx_s[:] = Vx_new
-    Vxx_s[:] = Vxx_new
+        k_ref[t] = k
+        K_ref[t] = K
+        Vx1_ref[t] = Vx
+        Vxx1_ref[t] = Vxx
+        Vx = Vx_new
+        Vxx = Vxx_new
+    Vx_s[:] = Vx
+    Vxx_s[:] = Vxx
 
 
 # -- rollout, lane-native with in-kernel Exp(d)/f^-1 -------------------------
@@ -132,7 +139,7 @@ def _rollout_kernel_lane(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
                          u_ref, k_ref, K_ref, d_ref, fqR_ref, fqp_ref,
                          fxi_ref, Jl_ref, Jil_ref, Pu_ref, mg_ref,
                          oR_ref, op_ref, oxi_ref, ou_ref,
-                         R_s, p_s, xi_s, *, dt, gravity=False):
+                         R_s, p_s, xi_s, *, dt, gravity=False, chunk=1):
     @pl.when(pl.program_id(1) == 0)
     def _init():
         R_s[:] = qR_ref[0]
@@ -140,45 +147,48 @@ def _rollout_kernel_lane(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
         xi_s[:] = xi_ref[0]
 
     R_new, p_new, xi_new = R_s[:], p_s[:], xi_s[:]
-    Ri_inv, pi_inv = pll.se3_inverse(qR_ref[0], qp_ref[0])
-    Re, pe = pll.se3_compose(Ri_inv, pi_inv, R_new, p_new)
-    xs_err = jnp.concatenate([pll.se3_log(Re, pe), xi_new - xi_ref[0]], axis=0)
+    for t in range(chunk):
+        Ri_inv, pi_inv = pll.se3_inverse(qR_ref[t], qp_ref[t])
+        Re, pe = pll.se3_compose(Ri_inv, pi_inv, R_new, p_new)
+        xs_err = jnp.concatenate(
+            [pll.se3_log(Re, pe), xi_new - xi_ref[t]], axis=0)
 
-    K = K_ref[0]
-    u_new = u_ref[0] + k_ref[0] + sum(
-        K[:, j, :] * xs_err[j:j + 1, :] for j in range(NX))
+        K = K_ref[t]
+        u_new = u_ref[t] + k_ref[t] + sum(
+            K[:, j, :] * xs_err[j:j + 1, :] for j in range(NX))
 
-    ReE, peE = pll.se3_exp(xi_new * dt)
-    fqR_n, fqp_n = pll.se3_compose(R_new, p_new, ReE, peE)
-    fqR_n = pll.so3_normalize(fqR_n)
-    Jxi = pll.matvec(Jl_ref[:], xi_new, 6)
-    w, v = xi_new[:3], xi_new[3:]
-    nu = u_new.shape[0]
-    wrench = jnp.concatenate(
-        [-_cross(w, Jxi[:3]) - _cross(v, Jxi[3:]), -_cross(w, Jxi[3:])],
-        axis=0) + pll.matvec(Pu_ref[:], u_new, nu)
-    if gravity:
-        g_lin = -mg_ref[0][None, :] * R_new[2]
-        wrench = wrench + jnp.concatenate(
-            [jnp.zeros_like(g_lin), g_lin], axis=0)
-    fxi_new = xi_new + dt * pll.matvec(Jil_ref[:], wrench, 6)
+        ReE, peE = pll.se3_exp(xi_new * dt)
+        fqR_n, fqp_n = pll.se3_compose(R_new, p_new, ReE, peE)
+        fqR_n = pll.so3_normalize(fqR_n)
+        Jxi = pll.matvec(Jl_ref[:], xi_new, 6)
+        w, v = xi_new[:3], xi_new[3:]
+        nu = u_new.shape[0]
+        wrench = jnp.concatenate(
+            [-_cross(w, Jxi[:3]) - _cross(v, Jxi[3:]), -_cross(w, Jxi[3:])],
+            axis=0) + pll.matvec(Pu_ref[:], u_new, nu)
+        if gravity:
+            g_lin = -mg_ref[0][None, :] * R_new[2]
+            wrench = wrench + jnp.concatenate(
+                [jnp.zeros_like(g_lin), g_lin], axis=0)
+        fxi_new = xi_new + dt * pll.matvec(Jil_ref[:], wrench, 6)
 
-    d = d_ref[0]
-    edR, edp = pll.se3_exp(d[:6])
-    fiR, fip = pll.se3_inverse(fqR_ref[0], fqp_ref[0])
-    R_a, p_a = pll.se3_compose(qRn_ref[0], qpn_ref[0], edR, edp)
-    R_b, p_b = pll.se3_compose(R_a, p_a, fiR, fip)
-    R_nn, p_nn = pll.se3_compose(R_b, p_b, fqR_n, fqp_n)
-    R_nn = pll.so3_normalize(R_nn)
-    xi_nn = xin_ref[0] + fxi_new - fxi_ref[0] + d[6:]
+        d = d_ref[t]
+        edR, edp = pll.se3_exp(d[:6])
+        fiR, fip = pll.se3_inverse(fqR_ref[t], fqp_ref[t])
+        R_a, p_a = pll.se3_compose(qRn_ref[t], qpn_ref[t], edR, edp)
+        R_b, p_b = pll.se3_compose(R_a, p_a, fiR, fip)
+        R_nn, p_nn = pll.se3_compose(R_b, p_b, fqR_n, fqp_n)
+        R_nn = pll.so3_normalize(R_nn)
+        xi_nn = xin_ref[t] + fxi_new - fxi_ref[t] + d[6:]
 
-    oR_ref[0] = R_nn
-    op_ref[0] = p_nn
-    oxi_ref[0] = xi_nn
-    ou_ref[0] = u_new
-    R_s[:] = R_nn
-    p_s[:] = p_nn
-    xi_s[:] = xi_nn
+        oR_ref[t] = R_nn
+        op_ref[t] = p_nn
+        oxi_ref[t] = xi_nn
+        ou_ref[t] = u_new
+        R_new, p_new, xi_new = R_nn, p_nn, xi_nn
+    R_s[:] = R_new
+    p_s[:] = p_new
+    xi_s[:] = xi_new
 
 
 class PipelineState(NamedTuple):
@@ -194,14 +204,20 @@ class PallasPipelineSolver:
 
     def __init__(self, N: int, iterations: int, dt: float,
                  interpret: bool = False, batch_tile: int = None,
-                 gravity: bool = False, exact_gravity_jacobian: bool = False):
+                 gravity: bool = False, exact_gravity_jacobian: bool = False,
+                 stage_chunk: int = 1):
         """``batch_tile`` (divides B): lanes per kernel grid step.  Kernels
         run on a (B // batch_tile, N) grid so VMEM holds one tile's blocks
         instead of the whole batch — required for B > ~512 at f32.
 
         ``gravity`` (static) selects the rigid-body/drone dynamics family:
         pass `RigidBodyParams` as ``dyn`` (its Pu projection sets nu);
-        ``exact_gravity_jacobian`` matches the flag in models/dynamics.py."""
+        ``exact_gravity_jacobian`` matches the flag in models/dynamics.py.
+
+        ``stage_chunk`` (divides N): stages processed per kernel grid step —
+        larger chunks amortize per-step grid overhead and HBM<->VMEM transfer
+        latency at the cost of ``chunk``x VMEM blocks and kernel-body
+        unrolling (compile time)."""
         self.N = N
         self.iterations = iterations
         self.dt = float(dt)
@@ -209,6 +225,10 @@ class PallasPipelineSolver:
         self.batch_tile = batch_tile
         self.gravity = gravity
         self.exact_grav = exact_gravity_jacobian
+        if N % stage_chunk:
+            raise ValueError(f"horizon {N} not divisible by stage_chunk "
+                             f"{stage_chunk}")
+        self.stage_chunk = stage_chunk
         self._solve_jit = jax.jit(self._solve)
 
     def _tiles(self, B):
@@ -224,6 +244,7 @@ class PallasPipelineSolver:
         dtp = us.dtype
         B = us.shape[-1]
         nb, bt = self._tiles(B)
+        ck = self.stage_chunk
         args = dict(
             qR=qR[:-1], qp=qp[:-1], qRn=qR[1:], qpn=qp[1:],
             xi=xi[:-1], xin=xi[1:], u=us,
@@ -233,7 +254,7 @@ class PallasPipelineSolver:
 
         def spec(a):
             r = len(a.shape)
-            return pl.BlockSpec((1,) + a.shape[1:-1] + (bt,),
+            return pl.BlockSpec((ck,) + a.shape[1:-1] + (bt,),
                                 lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
 
         def cspec(a):
@@ -258,9 +279,9 @@ class PallasPipelineSolver:
         out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
         kernel = functools.partial(_linearize_kernel, dt=self.dt,
                                    gravity=self.gravity,
-                                   exact_grav=self.exact_grav)
+                                   exact_grav=self.exact_grav, chunk=ck)
         fqR, fqp, fxi, d, Fx, lx, lxx, l = pl.pallas_call(
-            kernel, grid=(nb, N), out_shape=out_shapes, in_specs=in_specs,
+            kernel, grid=(nb, N // ck), out_shape=out_shapes, in_specs=in_specs,
             out_specs=out_specs, interpret=self.interpret,
         )(*args.values(), consts["Jl"], consts["Jil"], consts["W1"],
           consts["W2"], consts["Pu"], consts["mg"])
@@ -272,13 +293,15 @@ class PallasPipelineSolver:
         B = lu.shape[-1]
         nu = lu.shape[-2]
         nb, bt = self._tiles(B)
+        ck = self.stage_chunk
+        nc = N // ck
 
         def spec(a):
-            # backward recursion: grid step i processes stage N-1-i
+            # backward recursion: grid step i processes stage chunk nc-1-i
             r = len(a.shape)
             return pl.BlockSpec(
-                (1,) + a.shape[1:-1] + (bt,),
-                lambda b, i, r=r: (N - 1 - i,) + (0,) * (r - 2) + (b,))
+                (ck,) + a.shape[1:-1] + (bt,),
+                lambda b, i, r=r: (nc - 1 - i,) + (0,) * (r - 2) + (b,))
 
         def cspec(a):
             r = len(a.shape)
@@ -297,8 +320,8 @@ class PallasPipelineSolver:
         )
         out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
         k, K, Vx1, Vxx1 = pl.pallas_call(
-            functools.partial(_riccati_kernel_const, nu=nu),
-            grid=(nb, N), out_shape=out_shapes,
+            functools.partial(_riccati_kernel_const, nu=nu, chunk=ck),
+            grid=(nb, nc), out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((NX, bt), dtp),
                             pltpu.VMEM((NX, NX, bt), dtp)],
@@ -312,10 +335,11 @@ class PallasPipelineSolver:
         B = us.shape[-1]
         nu = us.shape[-2]
         nb, bt = self._tiles(B)
+        ck = self.stage_chunk
 
         def spec(a):
             r = len(a.shape)
-            return pl.BlockSpec((1,) + a.shape[1:-1] + (bt,),
+            return pl.BlockSpec((ck,) + a.shape[1:-1] + (bt,),
                                 lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
 
         def cspec(a):
@@ -336,9 +360,9 @@ class PallasPipelineSolver:
         )
         out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
         kernel = functools.partial(_rollout_kernel_lane, dt=self.dt,
-                                   gravity=self.gravity)
+                                   gravity=self.gravity, chunk=ck)
         oR, op, oxi, ou = pl.pallas_call(
-            kernel, grid=(nb, N), out_shape=out_shapes, in_specs=in_specs,
+            kernel, grid=(nb, N // ck), out_shape=out_shapes, in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((3, 3, bt), dtp),
                             pltpu.VMEM((3, bt), dtp),
