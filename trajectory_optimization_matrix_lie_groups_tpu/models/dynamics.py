@@ -43,6 +43,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from trajectory_optimization_matrix_lie_groups_tpu.models.base import DynamicsDef
+from trajectory_optimization_matrix_lie_groups_tpu.utils.linalg import setup_inv
 from trajectory_optimization_matrix_lie_groups_tpu.ops import se3, so3
 from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3, SO3
 
@@ -73,7 +74,7 @@ class SO3Params(NamedTuple):
 
 def so3_params(J, dt):
     J = jnp.asarray(J)
-    return SO3Params(J=J, Jinv=jnp.linalg.inv(J), dt=jnp.asarray(dt))
+    return SO3Params(J=J, Jinv=setup_inv(J), dt=jnp.asarray(dt))
 
 
 def _so3_step(p: SO3Params, q, xi, u, i):
@@ -122,7 +123,7 @@ class Pendulum3dParams(NamedTuple):
 def pendulum3d_params(J, m, length, dt, g=9.8):
     J = jnp.asarray(J)
     return Pendulum3dParams(
-        J=J, Jinv=jnp.linalg.inv(J), m=jnp.asarray(m), l=jnp.asarray(length),
+        J=J, Jinv=setup_inv(J), m=jnp.asarray(m), l=jnp.asarray(length),
         g=jnp.asarray(g), dt=jnp.asarray(dt),
     )
 
@@ -188,7 +189,7 @@ class SE3Params(NamedTuple):
 def se3_params(J, dt, ref_coad_swap=True):
     J = jnp.asarray(J)
     return SE3Params(
-        J=J, Jinv=jnp.linalg.inv(J), Ib=J[:3, :3], m=J[4, 4], dt=jnp.asarray(dt),
+        J=J, Jinv=setup_inv(J), Ib=J[:3, :3], m=J[4, 4], dt=jnp.asarray(dt),
         ref_coad_swap=jnp.asarray(ref_coad_swap),
     )
 
@@ -270,7 +271,7 @@ def rigid_body_params(J, dt, g=9.8, Pu=None, exact_gravity_jacobian=False,
     if Pu is None:
         Pu = jnp.eye(6, dtype=J.dtype)
     return RigidBodyParams(
-        J=J, Jinv=jnp.linalg.inv(J), Ib=J[:3, :3], m=J[4, 4], g=jnp.asarray(g),
+        J=J, Jinv=setup_inv(J), Ib=J[:3, :3], m=J[4, 4], g=jnp.asarray(g),
         dt=jnp.asarray(dt), Pu=jnp.asarray(Pu),
         exact_gravity_jacobian=jnp.asarray(exact_gravity_jacobian),
         ref_coad_swap=jnp.asarray(ref_coad_swap),

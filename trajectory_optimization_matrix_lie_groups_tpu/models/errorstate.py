@@ -30,6 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from trajectory_optimization_matrix_lie_groups_tpu.utils.linalg import setup_inv
 from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
 
 
@@ -51,7 +52,7 @@ def errorstate_params(J, dt, q_ref, xi_ref):
     J = jnp.asarray(J)
     q_ref = jnp.asarray(q_ref)
     return ErrorStateParams(
-        J=J, Jinv=jnp.linalg.inv(J), Ib=J[:3, :3], m=J[4, 4],
+        J=J, Jinv=setup_inv(J), Ib=J[:3, :3], m=J[4, 4],
         dt=jnp.asarray(dt), q_ref=q_ref,
         xi_ref=jnp.asarray(xi_ref).reshape(q_ref.shape[0], 6),
     )

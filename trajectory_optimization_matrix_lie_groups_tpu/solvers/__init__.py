@@ -10,3 +10,4 @@ from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_ilqr import ALILQR
 from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import FastBatchSolver  # noqa: F401
 from trajectory_optimization_matrix_lie_groups_tpu.solvers.ilqr import ILQR, ILQRConfig  # noqa: F401
 from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import PallasPipelineSolver  # noqa: F401
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.polish import HighPrecisionSolver  # noqa: F401

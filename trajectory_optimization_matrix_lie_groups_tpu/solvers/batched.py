@@ -31,6 +31,9 @@ from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_linearize import (
 from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_rollout import (
     pallas_rollout,
 )
+from trajectory_optimization_matrix_lie_groups_tpu.utils.linalg import (
+    chol_solve_psd,
+)
 
 
 def _bmv(M, v):
@@ -139,8 +142,14 @@ class FastBatchSolver:
             Qxx = lxx + fxT @ Vxx @ fx
             Qux = lux + fuT @ Vxx @ fx
             Quu = luu + fuT @ Vxx @ fu
-            k = -jnp.linalg.solve(Quu, Qu[..., None])[..., 0]
-            K = -jnp.linalg.solve(Quu, Qux)
+            if Quu.dtype == jnp.float64:
+                # TPU XLA has no f64 LU; unrolled Cholesky lowers everywhere
+                # (and Quu is PD by construction on this fixed-mu path)
+                k = -chol_solve_psd(Quu, Qu)
+                K = -chol_solve_psd(Quu, Qux)
+            else:
+                k = -jnp.linalg.solve(Quu, Qu[..., None])[..., 0]
+                K = -jnp.linalg.solve(Quu, Qux)
             KT = jnp.swapaxes(K, -1, -2)
             QuxT = jnp.swapaxes(Qux, -1, -2)
             Vx_n = Qx + _bmv(KT @ Quu, k) + _bmv(KT, Qu) + _bmv(QuxT, k)
