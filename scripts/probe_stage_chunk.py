@@ -1,0 +1,63 @@
+"""TPU probe: pipeline solver throughput vs (batch, batch_tile, stage_chunk)."""
+import json, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/traopt_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+import jax.numpy as jnp
+from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import PallasPipelineSolver
+import bench
+
+DTYPE = jnp.float32
+model, params, _, _, q_ref, xi_ref = bench.build_problem(DTYPE)
+N = q_ref.shape[0] - 1
+dt_static = float(bench.load_benchmark_pickle(bench.PKL)["prob"]["dt"])
+q0_anchor = jnp.asarray(np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_q0.npy")), DTYPE)
+xi0_anchor = jnp.asarray(np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_xi0.npy")), DTYPE)
+us_golden = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_us.npy"))
+dp, cp = params["dyn"], params["cost"]
+
+CONFIGS = [
+    (1024, 512, 1),   # bench.py config — validates the current headline path
+    (1024, 512, 2),
+    (1024, 512, 4),
+    (1024, 512, 5),
+    (1024, 512, 8),
+    (2048, 512, 1),
+    (2048, 512, 4),
+    (4096, 512, 4),
+]
+
+for B, tile, chunk in CONFIGS:
+    try:
+        solver = PallasPipelineSolver(N=N, iterations=bench.ITERS, dt=dt_static,
+                                      interpret=False, batch_tile=tile,
+                                      stage_chunk=chunk)
+        xi0s = jnp.broadcast_to(xi0_anchor, (B, 6)).astype(DTYPE)
+        us0 = jnp.zeros((B, N, 6), dtype=DTYPE)
+        def mk(seed):
+            dq = 0.05 * jax.random.normal(jax.random.PRNGKey(seed), (B, 6), dtype=DTYPE)
+            return SE3.normalize(q0_anchor[None] @ SE3.exp(dq)).at[0].set(q0_anchor)
+        reps = 3
+        batches = [jax.device_put(mk(r)) for r in range(reps + 1)]
+        jax.block_until_ready(batches)
+        t0 = time.perf_counter()
+        out = solver.solve(dp, cp, batches[0], xi0s, us0)
+        _ = np.asarray(out.us)
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for r in range(1, reps + 1):
+            out = solver.solve(dp, cp, batches[r], xi0s, us0)
+            _ = np.asarray(out.us)
+        dt = (time.perf_counter() - t0) / reps
+        err = float(np.max(np.abs(np.asarray(out.us[0], np.float64) - us_golden)))
+        print(json.dumps({"B": B, "tile": tile, "chunk": chunk,
+                          "solves_per_s": round(B / dt, 1),
+                          "t_compile_s": round(t_compile, 1),
+                          "err": err}), flush=True)
+    except Exception as e:
+        print(json.dumps({"B": B, "tile": tile, "chunk": chunk,
+                          "error": repr(e)[:300]}), flush=True)

@@ -21,3 +21,29 @@ def test_cli_pendulum_ms(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["converged"]
     assert out["us_vs_reference_max_err"] < 1e-4
+
+
+def test_cli_dynamics_sim(capsys):
+    main(["dynamics_sim"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # error-state propagation about the anchor stays close to the exact
+    # rollout over a short horizon; velocity part is exact by construction
+    assert out["vel_divergence_max"] < 1e-10
+    assert out["pose_divergence_max"] < 0.05
+
+
+@pytest.mark.parity
+def test_cli_cost_landscape(capsys):
+    main(["cost_landscape"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for grid in out["grids"].values():
+        assert grid["min"] >= 0.0
+        assert grid["max"] > 0.0
+
+
+@pytest.mark.parity
+def test_cli_errstate_tracking(capsys):
+    main(["errstate_tracking"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["converged"]
+    assert out["final_err_norm"] < 0.05

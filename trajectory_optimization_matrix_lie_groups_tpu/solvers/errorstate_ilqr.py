@@ -281,17 +281,29 @@ class ErrorStateILQR:
 
     # -- driver --------------------------------------------------------------
 
-    def init_state(self, params: es.ErrorStateParams, us_init):
+    def init_state(self, params: es.ErrorStateParams, us_init, x0=None):
         """Nominal anchor trajectory = the stored reference; error state 0
-        (ref `_linearization:4683-4687`)."""
+        (ref `_linearization:4683-4687`).  With ``x0`` (a 12-d error state,
+        the reference tracking solver's perturbed start,
+        `iLQR_Tracking_ErrorState_Approx.fit`), the initial trajectory is
+        instead the rollout of ``us_init`` from ``x0``."""
         us = jnp.asarray(us_init)
-        xs = jnp.concatenate(
-            [jnp.zeros_like(params.xi_ref), params.xi_ref], axis=-1)
+        if x0 is None:
+            xs = jnp.concatenate(
+                [jnp.zeros_like(params.xi_ref), params.xi_ref], axis=-1)
+            qs, xis = params.q_ref, params.xi_ref
+        else:
+            x0 = jnp.asarray(x0)
+            q0 = params.q_ref[0] @ se3.exp(x0[:6])
+            qs, xis = es.rollout_nominal(params, q0, x0[6:], us)
+            psi = jax.vmap(lambda qb, q: se3.log(se3.inverse(qb) @ q))(
+                params.q_ref, qs)
+            xs = jnp.concatenate([psi, xis], axis=-1)
         dtype = us.dtype
         f = lambda v: jnp.asarray(v, dtype=dtype)
         nu = us.shape[-1]
         return ESState(
-            xs=xs, qs=params.q_ref, xis=params.xi_ref, us=us, params=params,
+            xs=xs, qs=qs, xis=xis, us=us, params=params,
             k=jnp.zeros((self.cfg.N, nu), dtype=dtype),
             K=jnp.zeros((self.cfg.N, nu, 12), dtype=dtype),
             mu=f(self.cfg.mu_init), delta=f(self.cfg.delta_0),
@@ -301,10 +313,10 @@ class ErrorStateILQR:
         )
 
     def fit(self, cost_params, params, us_init, n_iterations=None,
-            on_iteration=None):
+            on_iteration=None, x0=None):
         cfg = self.cfg
         n_iterations = n_iterations or cfg.max_iterations
-        state = self.init_state(params, us_init)
+        state = self.init_state(params, us_init, x0=x0)
         J_hist, grad_hist = [], []
         for _ in range(n_iterations):
             state, took = self._iteration_jit(cost_params, state)

@@ -36,6 +36,14 @@ from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_linearize import (
 
 NX, NU = 12, 6
 
+# The (batch_tiles, stages) grid: batch tiles are independent ("parallel" —
+# Mosaic may split them across the chip's TensorCores), the stage dim
+# carries the VMEM recursion state ("arbitrary" = sequential).  The carry
+# scratch is re-initialized at stage 0 of every tile, so a core picking up
+# any subset of tiles is correct.
+_DIMSEM = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary"))
+
 
 def _cross(a, b):
     return pll._vec([
@@ -283,6 +291,7 @@ class PallasPipelineSolver:
         fqR, fqp, fxi, d, Fx, lx, lxx, l = pl.pallas_call(
             kernel, grid=(nb, N // ck), out_shape=out_shapes, in_specs=in_specs,
             out_specs=out_specs, interpret=self.interpret,
+            compiler_params=None if self.interpret else _DIMSEM,
         )(*args.values(), consts["Jl"], consts["Jil"], consts["W1"],
           consts["W2"], consts["Pu"], consts["mg"])
         return dict(fqR=fqR, fqp=fqp, fxi=fxi, d=d, Fx=Fx, lx=lx, lxx=lxx, l=l)
@@ -326,6 +335,7 @@ class PallasPipelineSolver:
             scratch_shapes=[pltpu.VMEM((NX, bt), dtp),
                             pltpu.VMEM((NX, NX, bt), dtp)],
             interpret=self.interpret,
+            compiler_params=None if self.interpret else _DIMSEM,
         )(*ins, lxN, lxxN, consts["Fu"], consts["Luu"])
         return k, K, Vx1, Vxx1
 
@@ -368,6 +378,7 @@ class PallasPipelineSolver:
                             pltpu.VMEM((3, bt), dtp),
                             pltpu.VMEM((6, bt), dtp)],
             interpret=self.interpret,
+            compiler_params=None if self.interpret else _DIMSEM,
         )(*ins, consts["Jl"], consts["Jil"], consts["Pu"], consts["mg"])
         qR_new = jnp.concatenate([qR[:1], oR], axis=0)
         qp_new = jnp.concatenate([qp[:1], op], axis=0)

@@ -11,8 +11,16 @@ Tasks mirror the reference scripts:
     se3_tracking        main_SE3ddp_tracking_exact.py (SS)
     se3_tracking_ms     main_SE3ddp_tracking_exact_ms.py (MS)
     drone_ms            main_drone_ddp_tracking_exact_ms.py
+    rigid_body_ms       main_RigidBody_ddp_tracking_exact_ms.py (gravity)
     se3_al_ms           main_SE3ddp_tracking_exact_al_ms.py (input box +-10)
+    errstate_tracking   main_SE3ddp_tracking_approx.py
     errstate_generate   main_errSE3ddp_nonlinear_rollout_generation.py
+    errstate_generate_linear  main_errSE3ddp_linear_rollout_generation.py
+    baseline_su2        main_SU2_SE3_baseline.py (embedded R^13 iLQR)
+    baseline_embedded   baseline_SE3_nlpsol_embedded.py families (3 variants)
+    dynamics_sim        main_SE3dynamics.py / main_errSE3dynamics.py
+    cost_landscape      visualization/visual_cost_3d_fixed.py
+    mpc                 (new) closed-loop receding-horizon MPC demo
     sweep               visualization/perturb_all_compute.py (reduced ranges)
 
 Benchmark problems are rebuilt from the reference pickles where available;
@@ -210,6 +218,306 @@ def run_sweep_task(args):
                                   for k, v in out.items()})))
 
 
+def run_rigid_body(args):
+    """SE(3) rigid body under gravity tracking the drone-racing path
+    (ref `main_RigidBody_ddp_tracking_exact_ms.py:101-158`: same path and
+    weights as the SE3 task, `RigidBodyDynamics` with g=9.8)."""
+    from trajectory_optimization_matrix_lie_groups_tpu.models import costs, dynamics
+    from trajectory_optimization_matrix_lie_groups_tpu.models.base import make_model
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import (
+        LieILQR,
+        SolverConfig,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    data, _, params0, _, _, _ = build_benchmark("se3_tracking", True)
+    prob = data["prob"]
+    H = 200
+    q_ref = jnp.asarray(np.asarray(prob["q_ref"])[: H + 1])
+    xi_ref = jnp.asarray(np.asarray(prob["xi_ref"])[: H + 1].reshape(H + 1, 6))
+    dyn = dynamics.rigid_body_dynamics()
+    dp = dynamics.rigid_body_params(jnp.asarray(prob["J"]), float(prob["dt"]),
+                                    g=9.8)
+    cd = costs.tracking_cost(SE3, 6)
+    cp = costs.tracking_cost_params(SE3, prob["Q"], prob["R"], prob["P"],
+                                    q_ref, xi_ref)
+    model, params = make_model(dyn, cd, dp, cp)
+    cfg = SolverConfig(N=H, multiple_shooting=True, rollout="nonlinear",
+                       n_alphas=20, tol_grad_norm=1e-6, tol_d_norm=1e-4,
+                       max_iterations=100)
+    solver = LieILQR(model, cfg)
+    t0 = time.perf_counter()
+    (qs, xis), us, J_hist, grad_hist, defect_hist, state = solver.fit(
+        params, (q_ref[0], xi_ref[0]), jnp.zeros((H, 6)))
+    wall = time.perf_counter() - t0
+    res = _summary("rigid_body_ms", J_hist, grad_hist, state,
+                   {"wall_s": round(wall, 2),
+                    "defect_final": defect_hist[-1] if defect_hist else None})
+    if args.plot:
+        from trajectory_optimization_matrix_lie_groups_tpu.viz import plots
+
+        plots.convergence(J_hist, grad_hist,
+                          f"{args.plot}/rigid_body_ms_convergence.png",
+                          defect_hist=defect_hist)
+        plots.trajectory_3d(np.asarray(qs), np.asarray(q_ref),
+                            f"{args.plot}/rigid_body_ms_trajectory.png")
+    return res
+
+
+def _errstate_circle_reference(N=400, dt=0.01):
+    """Twist-integrated reference mirroring the error-state scripts'
+    construction (ref `main_SE3ddp_tracking_approx.py:52-66`: constant twist
+    from an euler/position target divided by the horizon)."""
+    from trajectory_optimization_matrix_lie_groups_tpu.models import (
+        errorstate as es,
+    )
+
+    J = jnp.block([
+        [jnp.diag(jnp.array([0.5, 0.7, 0.9])), jnp.zeros((3, 3))],
+        [jnp.zeros((3, 3)), jnp.eye(3)],
+    ])
+    w_ref = jnp.array([jnp.pi / 4, jnp.pi / 4, jnp.pi / 2]) / (N * dt)
+    v_ref = jnp.array([10.0, 10.0, 10.0]) / (N * dt)
+    xi0 = jnp.concatenate([w_ref, v_ref])
+    p0 = es.errorstate_params(J, dt, jnp.zeros((N + 1, 4, 4)),
+                              jnp.zeros((N + 1, 6)))
+    qs, xis = es.rollout_nominal(p0, jnp.eye(4), xi0, jnp.zeros((N, 6)))
+    return es.reanchor(p0, qs, xis), J, xi0
+
+
+def run_errstate_tracking(args):
+    """Error-state approximate tracking (ref `main_SE3ddp_tracking_approx.py`,
+    `iLQR_Tracking_ErrorState_Approx` at traopt_controller.py:3300)."""
+    from trajectory_optimization_matrix_lie_groups_tpu.models import errorstate as es
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.errorstate_ilqr import (
+        ErrorStateILQR,
+        ESConfig,
+    )
+
+    N = 400
+    params, J, xi0 = _errstate_circle_reference(N=N)
+    cp = es.ErrorStateTrackingCostParams(
+        Q=jnp.eye(12), R=1e-5 * jnp.eye(6), P=10.0 * jnp.eye(12),
+        xi_ref=params.xi_ref)
+    cfg = ESConfig(N=N, mode="tracking", rollout="nonlinear", n_alphas=13,
+                   tol_grad_norm=1e-3, max_iterations=50)
+    solver = ErrorStateILQR(cfg, es.tracking_cost_es)
+    # perturbed start: the error state x = [Log(qbar^-1 q); xi]
+    x_err0 = jnp.concatenate(
+        [jnp.array([0.05, -0.03, 0.08, 0.2, -0.1, 0.15]), xi0 + 0.05])
+    state, J_hist, grad_hist, _ = solver.fit(cp, params, jnp.zeros((N, 6)),
+                                             x0=x_err0)
+    _summary("errstate_tracking", J_hist, grad_hist, state,
+             {"final_err_norm": float(jnp.linalg.norm(state.xs[-1][:6]))})
+
+
+def run_errstate_linear(args):
+    """Error-state goal generation with LTV (linear) rollout
+    (ref `main_errSE3ddp_linear_rollout_generation.py:34-130`: Q=I, P=1e5 I,
+    R=1e1 I, goal = yaw pi/4 at [10,10,10])."""
+    from trajectory_optimization_matrix_lie_groups_tpu.models import errorstate as es
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.errorstate_ilqr import (
+        ErrorStateILQR,
+        ESConfig,
+    )
+
+    N, dt = 400, 0.01
+    J = jnp.block([
+        [jnp.diag(jnp.array([0.5, 0.7, 0.9])), jnp.zeros((3, 3))],
+        [jnp.zeros((3, 3)), jnp.eye(3)],
+    ])
+    R_goal = SE3.exp(jnp.array([0.0, 0.0, jnp.pi / 4, 0.0, 0.0, 0.0]))
+    X_goal = R_goal.at[:3, 3].set(jnp.array([10.0, 10.0, 10.0]))
+    # deviated reference (ref :68-79): integrate a twist slightly off-goal
+    xi0 = jnp.concatenate([
+        jnp.array([jnp.pi / 4 + 0.1, jnp.pi / 4 - 0.1, jnp.pi / 2]) / (N * dt),
+        jnp.array([11.0, 11.0, 9.0]) / (N * dt),
+    ])
+    p0 = es.errorstate_params(J, dt, jnp.zeros((N + 1, 4, 4)),
+                              jnp.zeros((N + 1, 6)))
+    qs, xis = es.rollout_nominal(p0, jnp.eye(4), xi0, jnp.zeros((N, 6)))
+    params = es.reanchor(p0, qs, xis)
+    Q, P, Rm = jnp.eye(6), 1e5 * jnp.eye(6), 1e1 * jnp.eye(6)
+    cp = es.goal_cost_params(Q, Rm, P, params.q_ref, X_goal)
+    cfg = ESConfig(N=N, mode="generation_linear", n_alphas=15,
+                   tol_grad_norm=1e-3, max_iterations=100)
+    solver = ErrorStateILQR(cfg, es.goal_cost)
+    state, J_hist, grad_hist, _ = solver.fit(cp, params, jnp.zeros((N, 6)))
+    final_err = se3.log(se3.inverse(state.qs[-1]) @ X_goal)
+    _summary("errstate_generate_linear", J_hist, grad_hist, state,
+             {"final_goal_err_norm": float(jnp.linalg.norm(final_err))})
+
+
+def run_baseline_su2(args):
+    """Embedded-Euclidean SU(2) baseline on the SE3 tracking slice
+    (ref `main_SU2_SE3_baseline.py`, `EmbeddedEuclideanSU2_SE3:642`)."""
+    from trajectory_optimization_matrix_lie_groups_tpu.baselines.embedded import (
+        solve_su2,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.utils.metrics import (
+        quat_norm_violation,
+    )
+
+    data, _, _, _, _, _ = build_benchmark("se3_tracking", True)
+    prob = data["prob"]
+    H = 200
+    q_ref = np.asarray(prob["q_ref"])[: H + 1]
+    xi_ref = np.asarray(prob["xi_ref"])[: H + 1]
+    xs, us, J_hist, grad_hist, st = solve_su2(
+        prob["J"], float(prob["dt"]), q_ref, xi_ref,
+        prob["Q"], prob["R"], prob["P"],
+        (jnp.asarray(q_ref[0]), jnp.asarray(xi_ref[0]).reshape(6) + 0.05),
+        jnp.zeros((H, 6)), n_iterations=100)
+    drift = np.asarray(quat_norm_violation(xs))
+    _summary("baseline_su2", J_hist, grad_hist, st,
+             {"quat_norm_violation_max": float(drift.max())})
+
+
+def run_baseline_embedded(args):
+    """The three embedded rotation-matrix baseline families (ref
+    `traopt_baseline.py` EmbeddedEuclidean*_DynamicsConstr{,_LogCost},
+    ConstraintStabilization*) on the SE3 tracking slice."""
+    from trajectory_optimization_matrix_lie_groups_tpu.baselines.embedded import (
+        solve_se3_matrix,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.utils.metrics import (
+        orthogonality_violation,
+    )
+
+    data, _, _, _, _, _ = build_benchmark("se3_tracking", True)
+    prob = data["prob"]
+    H = 120
+    q_ref = np.asarray(prob["q_ref"])[: H + 1]
+    xi_ref = np.asarray(prob["xi_ref"])[: H + 1]
+    x0 = (jnp.asarray(q_ref[0]), jnp.asarray(xi_ref[0]).reshape(6) + 0.05)
+    out = {}
+    for variant in ("dynconstr", "logcost", "stabilized"):
+        xs, us, J_hist, grad_hist, st = solve_se3_matrix(
+            prob["J"], float(prob["dt"]), q_ref, xi_ref,
+            prob["Q"], prob["R"], prob["P"], x0, jnp.zeros((H, 6)),
+            variant=variant, n_iterations=60)
+        Rms = np.asarray(xs)[:, :9].reshape(-1, 3, 3)
+        viol = np.asarray(orthogonality_violation(Rms))
+        out[variant] = dict(J_final=float(J_hist[-1]),
+                            orthogonality_violation_max=float(viol.max()))
+    print(json.dumps(dict(task="baseline_embedded", variants=out)))
+
+
+def run_dynamics_sim(args):
+    """Open-loop dynamics comparison (ref `main_SE3dynamics.py`,
+    `main_errSE3dynamics.py`): exact SE(3) rollout vs error-state
+    linearized propagation about the nominal, report divergence."""
+    from trajectory_optimization_matrix_lie_groups_tpu.models import errorstate as es
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+
+    N = 200
+    params, J, xi0 = _errstate_circle_reference(N=N)
+    key = jax.random.PRNGKey(0)
+    us = 0.1 * jax.random.normal(key, (N, 6))
+    # exact group rollout with the input sequence
+    qs_exact, xis_exact = es.rollout_nominal(params, jnp.eye(4), xi0, us)
+    # error-state propagation of the same inputs about the (zero-input) nominal
+    def step(x, i):
+        x_next = es.step_euler(params, x, us[i], i)
+        return x_next, x_next
+    x0 = jnp.zeros(12).at[6:].set(xi0)
+    _, xs_es = jax.lax.scan(step, x0, jnp.arange(N))
+    # reconstruct group trajectory from the error state and compare
+    qs_es = jnp.einsum("nij,njk->nik", params.q_ref[1:],
+                       se3.exp(xs_es[:, :6]))
+    pose_div = jnp.linalg.norm(
+        se3.log(se3.inverse(qs_es) @ qs_exact[1:]), axis=-1)
+    vel_div = jnp.linalg.norm(xs_es[:, 6:] - xis_exact[1:], axis=-1)
+    print(json.dumps(dict(
+        task="dynamics_sim", N=N,
+        pose_divergence_final=float(pose_div[-1]),
+        pose_divergence_max=float(pose_div.max()),
+        vel_divergence_max=float(vel_div.max()),
+    )))
+
+
+def run_cost_landscape(args):
+    """SE(3) cost-landscape grid (ref `visualization/visual_cost_3d_fixed.py`:
+    left/right-error cost over a (theta_z, theta_y) rotation grid)."""
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.viz.cost_landscape import (
+        plot_landscape,
+        pose_error_grid,
+    )
+
+    data, _, params, _, _, _ = build_benchmark("se3_tracking", True)
+    cp = params["cost"]
+    th = np.linspace(-180.0, 180.0, 73)
+    out = {}
+    for left in (True, False):
+        Z, _, _ = pose_error_grid(cp.q_ref[0], th, th, cp.Q1, left=left)
+        name = "left" if left else "right"
+        out[name] = dict(min=float(Z.min()), max=float(Z.max()))
+        if args.plot:
+            plot_landscape(Z, th, th, f"{args.plot}/cost_landscape_{name}.png",
+                           title=f"SE(3) {name}-error cost landscape")
+    print(json.dumps(dict(task="cost_landscape", grids=out)))
+
+
+def run_mpc(args):
+    """Closed-loop receding-horizon MPC on the SE3 tracking path (new
+    capability: the BASELINE.json north-star workload, H=40 window)."""
+    import dataclasses
+
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import LieILQR
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.mpc import (
+        make_closed_loop,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    H, T = 40, 150
+    cfg = dataclasses.replace(solver.cfg, N=H, max_iterations=4,
+                              tol_grad_norm=0.0, tol_d_norm=0.0,
+                              backward="sequential_fixed", line_search=False)
+    solver = LieILQR(solver.model, cfg)
+    run = make_closed_loop(solver, T)
+    cp = params["cost"]
+    q0 = SE3.normalize(cp.q_ref[0] @ SE3.exp(
+        jnp.asarray([0.05, -0.03, 0.08, 0.3, -0.2, 0.25], cp.xi_ref.dtype)))
+    t0 = time.perf_counter()
+    res = run(params, q0, cp.xi_ref[0])
+    jax.block_until_ready(res.us)
+    wall = time.perf_counter() - t0
+    track_err = jnp.linalg.norm(
+        se3.log(se3.inverse(cp.q_ref[: T + 1]) @ res.qs), axis=-1)
+    print(json.dumps(dict(
+        task="mpc", horizon=H, steps=T, wall_s=round(wall, 2),
+        solves_per_s=round(T / wall, 1),
+        tracking_err_initial=float(track_err[0]),
+        tracking_err_final=float(track_err[-1]),
+        tracking_err_shrink_ratio=float(track_err[-1] / track_err[0]),
+    )))
+    if args.plot:
+        from trajectory_optimization_matrix_lie_groups_tpu.viz import plots
+
+        plots.trajectory_3d(np.asarray(res.qs),
+                            np.asarray(cp.q_ref[: T + 1]),
+                            f"{args.plot}/mpc_trajectory.png")
+
+
 TASKS = {
     "cartpole": run_cartpole,
     "so3_tracking": lambda a: run_benchmark_task("so3_tracking", "so3_tracking", False, a),
@@ -218,8 +526,16 @@ TASKS = {
     "se3_tracking": lambda a: run_benchmark_task("se3_tracking", "se3_tracking", False, a),
     "se3_tracking_ms": lambda a: run_benchmark_task("se3_tracking_ms", "se3_tracking", True, a),
     "drone_ms": lambda a: run_benchmark_task("drone_ms", "drone_racing", True, a),
+    "rigid_body_ms": run_rigid_body,
     "se3_al_ms": run_al,
+    "errstate_tracking": run_errstate_tracking,
     "errstate_generate": run_errstate,
+    "errstate_generate_linear": run_errstate_linear,
+    "baseline_su2": run_baseline_su2,
+    "baseline_embedded": run_baseline_embedded,
+    "dynamics_sim": run_dynamics_sim,
+    "cost_landscape": run_cost_landscape,
+    "mpc": run_mpc,
     "sweep": run_sweep_task,
 }
 
