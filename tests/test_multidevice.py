@@ -53,6 +53,47 @@ def test_sharded_batch_solve_matches_single():
                                atol=1e-10)
 
 
+def test_sharded_pipeline_matches_single():
+    """shard_map'd Pallas pipeline over the 8-device mesh == single-device."""
+    import dataclasses  # noqa: F401
+
+    from trajectory_optimization_matrix_lie_groups_tpu.parallel import (
+        make_sharded_pipeline,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
+        PallasPipelineSolver,
+    )
+
+    data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    H, B, ITERS = 20, 16, 3
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    cp = cp._replace(q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+                     Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))
+    dp = params["dyn"]
+
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(5), (B, 6))
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6))
+    us0s = jnp.zeros((B, H, 6))
+
+    interp = jax.default_backend() != "tpu"
+    mesh = make_batch_mesh(8)
+    sharded = make_sharded_pipeline(N=H, iterations=ITERS, dt=float(dp.dt),
+                                    mesh=mesh, interpret=interp)
+    out = sharded.solve(dp, cp, q0s, xi0s, us0s)
+    assert out.us.shape == (B, H, 6)
+    assert out.us.sharding.is_equivalent_to(sharded._shard, ndim=3)
+
+    single = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                                  interpret=interp)
+    ref = single.solve(dp, cp, q0s, xi0s, us0s)
+    np.testing.assert_allclose(np.asarray(out.us), np.asarray(ref.us),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out.J_opt), np.asarray(ref.J_opt),
+                               rtol=1e-12)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

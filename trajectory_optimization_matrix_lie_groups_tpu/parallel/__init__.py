@@ -4,3 +4,7 @@ from trajectory_optimization_matrix_lie_groups_tpu.parallel.batch import (  # no
     BatchSolver,
     make_batch_mesh,
 )
+from trajectory_optimization_matrix_lie_groups_tpu.parallel.pipeline_sharded import (  # noqa: F401
+    ShardedPipelineSolver,
+    make_sharded_pipeline,
+)
