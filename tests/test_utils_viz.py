@@ -58,3 +58,19 @@ def test_cost_landscape_grid():
     assert Z.shape == (7, 5)
     # minimum at the unperturbed center
     assert Z[3, 2] <= Z.min() + 1e-9
+
+
+def test_replay_fallback(tmp_path):
+    """Without rerun installed, replay degrades to the quat-pos export."""
+    from trajectory_optimization_matrix_lie_groups_tpu.viz.replay import (
+        replay_trajectory,
+    )
+
+    qs = se3.exp(0.1 * jnp.ones((4, 6)))
+    out = replay_trajectory(qs, dt=0.01,
+                            fallback_path=str(tmp_path / "traj.npy"))
+    qp = np.load(out)
+    assert qp.shape == (4, 7)
+    # unit quaternions
+    np.testing.assert_allclose(np.linalg.norm(qp[:, :4], axis=1), 1.0,
+                               atol=1e-6)

@@ -43,6 +43,10 @@ NX, NU = 12, 6
 # any subset of tiles is correct.
 _DIMSEM = pltpu.CompilerParams(
     dimension_semantics=("parallel", "arbitrary"))
+# The linearizer has no cross-stage carry (stage work is independent), so
+# both grid dims are parallel.
+_DIMSEM_PAR = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel"))
 
 
 def _cross(a, b):
@@ -291,7 +295,7 @@ class PallasPipelineSolver:
         fqR, fqp, fxi, d, Fx, lx, lxx, l = pl.pallas_call(
             kernel, grid=(nb, N // ck), out_shape=out_shapes, in_specs=in_specs,
             out_specs=out_specs, interpret=self.interpret,
-            compiler_params=None if self.interpret else _DIMSEM,
+            compiler_params=None if self.interpret else _DIMSEM_PAR,
         )(*args.values(), consts["Jl"], consts["Jil"], consts["W1"],
           consts["W2"], consts["Pu"], consts["mg"])
         return dict(fqR=fqR, fqp=fqp, fxi=fxi, d=d, Fx=Fx, lx=lx, lxx=lxx, l=l)
