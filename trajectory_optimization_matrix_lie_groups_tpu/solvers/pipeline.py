@@ -61,7 +61,7 @@ def _cross(a, b):
 
 def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
                           lxN_ref, lxxN_ref, Fu_ref, Luu_ref,
-                          k_ref, K_ref, Vx1_ref, Vxx1_ref, Vx_s, Vxx_s,
+                          k_ref, K_ref, gvec_ref, Vx_s, Vxx_s,
                           *, nu=NU, chunk=1):
     # grid = (batch_tiles, N // chunk): the stage recursion rides dim 1 and
     # each grid step processes ``chunk`` stages from one VMEM block (fewer,
@@ -137,8 +137,9 @@ def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
 
         k_ref[t] = k
         K_ref[t] = K
-        Vx1_ref[t] = Vx
-        Vxx1_ref[t] = Vxx
+        # per-stage MS gradient Qu = lu + Fu^T (V_x[t+1] + V_xx[t+1] d[t])
+        # emitted in-kernel so the (N,12,12,B) value tensor never touches HBM
+        gvec_ref[t] = Qu
         Vx = Vx_new
         Vxx = Vxx_new
     Vx_s[:] = Vx
@@ -328,11 +329,10 @@ class PallasPipelineSolver:
         out_shapes = (
             jax.ShapeDtypeStruct((N, nu, B), dtp),
             jax.ShapeDtypeStruct((N, nu, NX, B), dtp),
-            jax.ShapeDtypeStruct((N, NX, B), dtp),
-            jax.ShapeDtypeStruct((N, NX, NX, B), dtp),
+            jax.ShapeDtypeStruct((N, nu, B), dtp),
         )
         out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
-        k, K, Vx1, Vxx1 = pl.pallas_call(
+        k, K, gvec = pl.pallas_call(
             functools.partial(_riccati_kernel_const, nu=nu, chunk=ck),
             grid=(nb, nc), out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
@@ -341,7 +341,7 @@ class PallasPipelineSolver:
             interpret=self.interpret,
             compiler_params=None if self.interpret else _DIMSEM,
         )(*ins, lxN, lxxN, consts["Fu"], consts["Luu"])
-        return k, K, Vx1, Vxx1
+        return k, K, gvec
 
     def _rollout_lane(self, qR, qp, xi, us, k, K, lin, consts):
         N = self.N
@@ -391,8 +391,10 @@ class PallasPipelineSolver:
 
     # ----------------------------------------------------------------------
 
-    def _solve(self, dyn, cost, q0s, xi0s, us0):
-        """dyn: SE3Params; cost: TrackingCostParams; solver-layout inputs."""
+    def _prepare(self, dyn, cost, q0s, xi0s, us0):
+        """Lane-layout setup: broadcast consts/references to the lanes and
+        build the initial (qR, qp, xi, us) state.  Split out of `_solve` so
+        probes/tests can drive the kernels individually."""
         B = q0s.shape[0]
         N = self.N
         nu = us0.shape[-1]
@@ -436,6 +438,18 @@ class PallasPipelineSolver:
         xi = jnp.concatenate([jnp.moveaxis(xi0s[None], 1, -1),
                               jnp.moveaxis(xi_ref_b, 1, -1)], axis=0)
         us = jnp.moveaxis(us0, 0, -1)  # (N, 6, B)
+        return qR, qp, xi, us, refs, consts
+
+    def _solve(self, dyn, cost, q0s, xi0s, us0):
+        """dyn: SE3Params; cost: TrackingCostParams; solver-layout inputs."""
+        B = q0s.shape[0]
+        N = self.N
+        dtp = us0.dtype
+        qR, qp, xi, us, refs, consts = self._prepare(dyn, cost, q0s, xi0s, us0)
+        lanes66 = lambda M: jnp.broadcast_to(
+            jnp.asarray(M, dtp)[..., None], jnp.asarray(M).shape + (B,))
+        ref = lambda x: jnp.moveaxis(
+            jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:]), 1, -1)
 
         # terminal quadratization (lane layout, computed per iteration)
         def term_quad(qR, qp, xi):
@@ -465,10 +479,8 @@ class PallasPipelineSolver:
             lin = self._linearize_lane(qR, qp, xi, us, refs, consts)
             lu = 2.0 * jnp.einsum("ij,njb->nib", cost.R.astype(dtp), us)
             lxN, lxxN, lN = term_quad(qR, qp, xi)
-            k, K, Vx1, Vxx1 = self._backward_lane(lin, lu, lxN, lxxN, consts)
-            # gradient: g_t = lu + Fu^T (Vx1 + Vxx1 d)
-            Vmod = Vx1 + jnp.einsum("nijb,njb->nib", Vxx1, lin["d"])
-            gvec = lu + jnp.einsum("jib,njb->nib", consts["Fu"], Vmod)
+            k, K, gvec = self._backward_lane(lin, lu, lxN, lxxN, consts)
+            # gvec_t = lu + Fu^T (V_x[t+1] + V_xx[t+1] d[t]) from the kernel
             g = jnp.mean(jnp.sqrt(jnp.sum(gvec * gvec, axis=1)), axis=0)
             J = jnp.sum(lin["l"][:, 0, :], axis=0) + \
                 jnp.einsum("nib,ij,njb->b", us, cost.R.astype(dtp), us) + lN
