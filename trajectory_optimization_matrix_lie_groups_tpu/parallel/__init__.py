@@ -8,3 +8,9 @@ from trajectory_optimization_matrix_lie_groups_tpu.parallel.pipeline_sharded imp
     ShardedPipelineSolver,
     make_sharded_pipeline,
 )
+from trajectory_optimization_matrix_lie_groups_tpu.parallel.multihost import (  # noqa: F401
+    distribute_batch,
+    gather_to_all,
+    global_batch_mesh,
+    initialize_multihost,
+)

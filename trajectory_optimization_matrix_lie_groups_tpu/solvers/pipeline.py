@@ -62,7 +62,7 @@ def _cross(a, b):
 def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
                           lxN_ref, lxxN_ref, Fu_ref, Luu_ref,
                           k_ref, K_ref, gvec_ref, Vx_s, Vxx_s,
-                          *, nu=NU, chunk=1):
+                          *, nu=NU, chunk=1, glow=False):
     # grid = (batch_tiles, N // chunk): the stage recursion rides dim 1 and
     # each grid step processes ``chunk`` stages from one VMEM block (fewer,
     # larger HBM<->VMEM transfers + less per-step grid overhead); a fresh
@@ -72,23 +72,42 @@ def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
         Vx_s[:] = lxN_ref[:]
         Vxx_s[:] = lxxN_ref[:]
 
-    fu = Fu_ref[:]
-    fuT = pll.transpose(fu)
+    # Block structure exploited throughout (~35% fewer lane multiplies than
+    # generic 12-d products): Fu = [0; Jinv Pu dt] (top half zero), and
+    # Fx = [[A, Bb], [C, D]] with C = 0 for the free-body family (``glow``
+    # adds the gravity J_xi_q block, models/dynamics.py:1130).
+    fu2 = Fu_ref[:][6:]
+    fu2T = pll.transpose(fu2)
     Luu = Luu_ref[:]
     Vx = Vx_s[:]
     Vxx = Vxx_s[:]
     for t in reversed(range(chunk)):
         fx = Fx_ref[t]
         dd = d_ref[t]
+        A, Bb, D = fx[:6, :6], fx[:6, 6:], fx[6:, 6:]
+        AT, BbT, DT = pll.transpose(A), pll.transpose(Bb), pll.transpose(D)
 
-        fxT = pll.transpose(fx)
         Vmod = Vx + pll.matvec(Vxx, dd, NX)
-        Qx = lx_ref[t] + pll.matvec(fxT, Vmod, NX)
-        Qu = lu_ref[t] + pll.matvec(fuT, Vmod, NX)
-        VF = pll.matmul(Vxx, fx, NX)
-        Qxx = lxx_ref[t] + pll.matmul(fxT, VF, NX)
-        Qux = pll.matmul(fuT, VF, NX)                       # Lux = 0
-        Quu = Luu + pll.matmul(fuT, pll.matmul(Vxx, fu, NX), NX)
+        Qx_top = pll.matvec(AT, Vmod[:6], 6)
+        Qx_bot = pll.matvec(BbT, Vmod[:6], 6) + pll.matvec(DT, Vmod[6:], 6)
+        VF_l = pll.matmul(Vxx[:, :6], A, 6)
+        VF_r = pll.matmul(Vxx[:, :6], Bb, 6) + pll.matmul(Vxx[:, 6:], D, 6)
+        if glow:
+            C = fx[6:, :6]
+            CT = pll.transpose(C)
+            Qx_top = Qx_top + pll.matvec(CT, Vmod[6:], 6)
+            VF_l = VF_l + pll.matmul(Vxx[:, 6:], C, 6)
+        Qx = lx_ref[t] + jnp.concatenate([Qx_top, Qx_bot], axis=0)
+        Qu = lu_ref[t] + pll.matvec(fu2T, Vmod[6:], 6)
+        VF = jnp.concatenate([VF_l, VF_r], axis=1)
+        Qxx_top = pll.matmul(AT, VF[:6], 6)
+        if glow:
+            Qxx_top = Qxx_top + pll.matmul(CT, VF[6:], 6)
+        Qxx_bot = pll.matmul(BbT, VF[:6], 6) + pll.matmul(DT, VF[6:], 6)
+        Qxx = lxx_ref[t] + jnp.concatenate([Qxx_top, Qxx_bot], axis=0)
+        Qux = pll.matmul(fu2T, VF[6:], 6)                   # Lux = 0
+        Quu = Luu + pll.matmul(fu2T,
+                               pll.matmul(Vxx[6:, 6:], fu2, 6), 6)
 
         # lane-batched nu x nu Cholesky + solves (unrolled)
         L = [[None] * nu for _ in range(nu)]
@@ -131,9 +150,12 @@ def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
         KTQuu = pll.matmul(KT, Quu, nu)
         Vx_new = (Qx + pll.matvec(KTQuu, k, nu) + pll.matvec(KT, Qu, nu)
                   + pll.matvec(QuxT, k, nu))
-        Vxx_new = (Qxx + pll.matmul(KTQuu, K, nu) + pll.matmul(KT, Qux, nu)
-                   + pll.matmul(QuxT, K, nu))
-        Vxx_new = 0.5 * (Vxx_new + pll.transpose(Vxx_new))
+        # KT Qux + QuxT K = M + M^T exactly (transpose of a product), so
+        # one matmul + the symmetrized (Qxx + KTQuu K) term gives the same
+        # symmetrized V_xx as the 3-matmul form
+        M = pll.matmul(KT, Qux, nu)
+        S = Qxx + pll.matmul(KTQuu, K, nu)
+        Vxx_new = 0.5 * (S + pll.transpose(S)) + M + pll.transpose(M)
 
         k_ref[t] = k
         K_ref[t] = K
@@ -333,7 +355,8 @@ class PallasPipelineSolver:
         )
         out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
         k, K, gvec = pl.pallas_call(
-            functools.partial(_riccati_kernel_const, nu=nu, chunk=ck),
+            functools.partial(_riccati_kernel_const, nu=nu, chunk=ck,
+                              glow=self.gravity),
             grid=(nb, nc), out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((NX, bt), dtp),
