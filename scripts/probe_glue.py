@@ -1,9 +1,7 @@
-"""TPU probe: per-kernel timing split of the pipeline iteration.
+"""TPU probe: how much of the pipeline iteration is non-kernel XLA glue?
 
-Times each of the three Pallas kernels (linearize / backward / rollout) in
-isolation (jitted, looped ITERS times on-device to amortize dispatch), plus
-the full solve, at the bench config.  Identifies where the ~21 ms batch
-iteration goes before attempting kernel fusion.
+Times the full iteration body vs a kernels-only body (constant lu/terminal
+quadratization, no J/grad reductions) at the bench config.
 """
 import json, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -29,65 +27,41 @@ dp, cp = params["dyn"], params["cost"]
 
 solver = PallasPipelineSolver(N=N, iterations=ITERS, dt=dt_static,
                               batch_tile=TILE, stage_chunk=CHUNK)
-
 dq = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (B, 6), dtype=DTYPE)
 q0s = SE3.normalize(q0_anchor[None] @ SE3.exp(dq))
 xi0s = jnp.broadcast_to(xi0_anchor, (B, 6)).astype(DTYPE)
 us0 = jnp.zeros((B, N, 6), dtype=DTYPE)
 
 prep = jax.jit(lambda q0s, xi0s, us0: solver._prepare(dp, cp, q0s, xi0s, us0))
-qR, qp_, xi, us, refs, consts = prep(q0s, xi0s, us0)
-jax.block_until_ready((qR, qp_, xi, us))
+qR0, qp0, xi0l, us_l, refs, consts = prep(q0s, xi0s, us0)
+jax.block_until_ready((qR0, qp0))
 
-lu = 2.0 * jnp.einsum("ij,njb->nib", cp.R.astype(DTYPE), us)
+lu_c = 2.0 * jnp.einsum("ij,njb->nib", cp.R.astype(DTYPE), us_l)
 _ref = lambda x: jnp.moveaxis(
     jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:]), 1, -1)
 _lanes = lambda M: jnp.broadcast_to(
     jnp.asarray(M, DTYPE)[..., None], jnp.asarray(M).shape + (B,))
-term = (qR[-1], qp_[-1], xi[-1],
-        _ref(cp.q_ref_inv[-1:, :3, :3])[0], _ref(cp.q_ref_inv[-1:, :3, 3])[0],
-        _ref(cp.Ad_ref[-1:])[0], _ref(cp.xi_ref[-1:])[0],
-        _lanes(cp.P1), _lanes(cp.P2))
+term_c = (qR0[-1], qp0[-1], xi0l[-1],
+          _ref(cp.q_ref_inv[-1:, :3, :3])[0], _ref(cp.q_ref_inv[-1:, :3, 3])[0],
+          _ref(cp.Ad_ref[-1:])[0], _ref(cp.xi_ref[-1:])[0],
+          _lanes(cp.P1), _lanes(cp.P2))
 
 
 @jax.jit
-def run_linearize(qR, qp_, xi, us):
-    def body(_, c):
-        lin = solver._linearize_lane(qR, qp_, xi, us, refs, consts)
-        return c + lin["d"][0, 0, 0]
-    return lax.fori_loop(0, ITERS, body, jnp.zeros((), DTYPE))
-
-
-lin0 = jax.jit(lambda qR, qp_, xi, us: solver._linearize_lane(
-    qR, qp_, xi, us, refs, consts))(qR, qp_, xi, us)
-jax.block_until_ready(lin0)
-
-
-@jax.jit
-def run_backward(lin, lu):
-    def body(_, c):
-        k, K, gvec, lN = solver._backward_lane(lin, lu, term, consts)
-        return c + k[0, 0, 0]
-    return lax.fori_loop(0, ITERS, body, jnp.zeros((), DTYPE))
-
-
-k0, K0, _, _ = jax.jit(lambda lin, lu: solver._backward_lane(
-    lin, lu, term, consts))(lin0, lu)
-jax.block_until_ready((k0, K0))
-
-
-@jax.jit
-def run_rollout(qR, qp_, xi, us, k, K, lin):
-    def body(_, c):
-        oR, op, oxi, ou = solver._rollout_lane(qR, qp_, xi, us, k, K, lin,
-                                               consts)
-        return c + ou[0, 0, 0]
-    return lax.fori_loop(0, ITERS, body, jnp.zeros((), DTYPE))
+def kernels_only(qR, qp, xi, us):
+    def body(_, carry):
+        qR, qp, xi, us = carry
+        lin = solver._linearize_lane(qR, qp, xi, us, refs, consts)
+        k, K, gvec, lN = solver._backward_lane(lin, lu_c, term_c, consts)
+        qR, qp, xi, us = solver._rollout_lane(qR, qp, xi, us, k, K, lin,
+                                              consts)
+        return qR, qp, xi, us
+    return lax.fori_loop(0, ITERS, body, (qR, qp, xi, us))[3]
 
 
 def timeit(name, fn, *args):
     out = fn(*args)
-    _ = np.asarray(out)  # warm-up/compile + completion barrier
+    _ = np.asarray(out)
     best = np.inf
     for _rep in range(3):
         t0 = time.perf_counter()
@@ -97,12 +71,9 @@ def timeit(name, fn, *args):
     print(json.dumps({"phase": name,
                       "ms_per_iter": round(best / ITERS * 1e3, 3)}),
           flush=True)
-    return best
 
 
-timeit("linearize", run_linearize, qR, qp_, xi, us)
-timeit("backward", run_backward, lin0, lu)
-timeit("rollout", run_rollout, qR, qp_, xi, us, k0, K0, lin0)
+timeit("kernels_only_loop", kernels_only, qR0, qp0, xi0l, us_l)
 
 out = solver.solve(dp, cp, q0s, xi0s, us0)
 _ = np.asarray(out.us)

@@ -60,17 +60,38 @@ def _cross(a, b):
 # -- Riccati backward, const-Fu/Luu specialization ---------------------------
 
 def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
-                          lxN_ref, lxxN_ref, Fu_ref, Luu_ref,
-                          k_ref, K_ref, gvec_ref, Vx_s, Vxx_s,
+                          qRN_ref, qpN_ref, xiN_ref, RbiRN_ref, RbipN_ref,
+                          AdbN_ref, xibN_ref, W1N_ref, W2N_ref,
+                          Fu_ref, Luu_ref,
+                          k_ref, K_ref, gvec_ref, lN_ref, Vx_s, Vxx_s,
                           *, nu=NU, chunk=1, glow=False):
     # grid = (batch_tiles, N // chunk): the stage recursion rides dim 1 and
     # each grid step processes ``chunk`` stages from one VMEM block (fewer,
     # larger HBM<->VMEM transfers + less per-step grid overhead); a fresh
-    # batch tile re-initializes the value-function carry.
+    # batch tile re-initializes the value-function carry from the terminal
+    # quadratization, computed in-kernel (its ~100 tiny lane ops cost
+    # milliseconds per iteration as unfused XLA glue).
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        Vx_s[:] = lxN_ref[:]
-        Vxx_s[:] = lxxN_ref[:]
+        dtp = Fx_ref.dtype
+        B = qpN_ref.shape[-1]
+        Re, pe = pll.se3_compose(qRN_ref[:], qpN_ref[:],
+                                 RbiRN_ref[:], RbipN_ref[:])
+        e = pll.se3_log(Re, pe)
+        ev = xiN_ref[:] - xibN_ref[:]
+        W1N = W1N_ref[:]
+        W2N = W2N_ref[:]
+        Jex = pll.matmul(pll.se3_right_jacobian_inv(e), AdbN_ref[:], 6)
+        JT2 = 2.0 * pll.transpose(Jex)
+        W1e = pll.matvec(W1N, e, 6)
+        W2ev = pll.matvec(W2N, ev, 6)
+        Vx_s[:] = jnp.concatenate([pll.matvec(JT2, W1e, 6), 2.0 * W2ev],
+                                  axis=0)
+        H_e = pll.matmul(pll.matmul(JT2, W1N, 6), Jex, 6)
+        z66 = jnp.zeros((6, 6, B), dtp)
+        Vxx_s[:] = pll.blk(H_e, z66, z66, 2.0 * W2N)
+        lN_ref[0] = (sum(e[i] * W1e[i] for i in range(6))
+                     + sum(ev[i] * W2ev[i] for i in range(6)))[None]
 
     # Block structure exploited throughout (~35% fewer lane multiplies than
     # generic 12-d products): Fu = [0; Jinv Pu dt] (top half zero), and
@@ -323,7 +344,10 @@ class PallasPipelineSolver:
           consts["W2"], consts["Pu"], consts["mg"])
         return dict(fqR=fqR, fqp=fqp, fxi=fxi, d=d, Fx=Fx, lx=lx, lxx=lxx, l=l)
 
-    def _backward_lane(self, lin, lu, lxN, lxxN, consts):
+    def _backward_lane(self, lin, lu, term, consts):
+        """``term``: lane-layout terminal state + references, consumed by the
+        in-kernel terminal quadratization at each batch tile's first grid
+        step: (qRN, qpN, xiN, RbiRN, RbipN, AdbN, xibN, W1N, W2N)."""
         N = self.N
         dtp = lu.dtype
         B = lu.shape[-1]
@@ -346,15 +370,18 @@ class PallasPipelineSolver:
 
         ins = [lin["Fx"], lin["d"], lin["lx"], lu, lin["lxx"]]
         in_specs = [spec(a) for a in ins] + \
-            [cspec(lxN), cspec(lxxN), cspec(consts["Fu"]),
-             cspec(consts["Luu"])]
+            [cspec(a) for a in term] + \
+            [cspec(consts["Fu"]), cspec(consts["Luu"])]
         out_shapes = (
             jax.ShapeDtypeStruct((N, nu, B), dtp),
             jax.ShapeDtypeStruct((N, nu, NX, B), dtp),
             jax.ShapeDtypeStruct((N, nu, B), dtp),
+            jax.ShapeDtypeStruct((1, 1, B), dtp),
         )
-        out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
-        k, K, gvec = pl.pallas_call(
+        out_specs = tuple(spec(jnp.zeros(s.shape, dtp))
+                          for s in out_shapes[:3]) + \
+            (pl.BlockSpec((1, 1, bt), lambda b, i: (0, 0, b)),)
+        k, K, gvec, lN = pl.pallas_call(
             functools.partial(_riccati_kernel_const, nu=nu, chunk=ck,
                               glow=self.gravity),
             grid=(nb, nc), out_shape=out_shapes,
@@ -363,8 +390,8 @@ class PallasPipelineSolver:
                             pltpu.VMEM((NX, NX, bt), dtp)],
             interpret=self.interpret,
             compiler_params=None if self.interpret else _DIMSEM,
-        )(*ins, lxN, lxxN, consts["Fu"], consts["Luu"])
-        return k, K, gvec
+        )(*ins, *term, consts["Fu"], consts["Luu"])
+        return k, K, gvec, lN[0, 0]
 
     def _rollout_lane(self, qR, qp, xi, us, k, K, lin, consts):
         N = self.N
@@ -474,35 +501,22 @@ class PallasPipelineSolver:
         ref = lambda x: jnp.moveaxis(
             jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:]), 1, -1)
 
-        # terminal quadratization (lane layout, computed per iteration)
-        def term_quad(qR, qp, xi):
-            RbiR_N = ref(cost.q_ref_inv[-1:, :3, :3])[0]
-            Rbip_N = ref(cost.q_ref_inv[-1:, :3, 3])[0]
-            Adb_N = ref(cost.Ad_ref[-1:])[0]
-            xib_N = ref(cost.xi_ref[-1:])[0]
-            Re, pe = pll.se3_compose(qR[-1], qp[-1], RbiR_N, Rbip_N)
-            e = pll.se3_log(Re, pe)
-            ev = xi[-1] - xib_N
-            W1N = lanes66(cost.P1)
-            W2N = lanes66(cost.P2)
-            Jex = pll.matmul(pll.se3_right_jacobian_inv(e), Adb_N, 6)
-            JT2 = 2.0 * pll.transpose(Jex)
-            W1e = pll.matvec(W1N, e, 6)
-            lxN = jnp.concatenate([pll.matvec(JT2, W1e, 6),
-                                   2.0 * pll.matvec(W2N, ev, 6)], axis=0)
-            H_e = pll.matmul(pll.matmul(JT2, W1N, 6), Jex, 6)
-            lxxN = pll.blk(H_e, jnp.zeros((6, 6, B), dtp),
-                           jnp.zeros((6, 6, B), dtp), 2.0 * W2N)
-            lN = (sum(e[i] * W1e[i] for i in range(6))
-                  + sum(ev[i] * pll.matvec(W2N, ev, 6)[i] for i in range(6)))
-            return lxN, lxxN, lN
+        # constant lane-layout terminal references (the state parts of the
+        # terminal quadratization are rebuilt per iteration in-kernel)
+        RbiR_N = ref(cost.q_ref_inv[-1:, :3, :3])[0]
+        Rbip_N = ref(cost.q_ref_inv[-1:, :3, 3])[0]
+        Adb_N = ref(cost.Ad_ref[-1:])[0]
+        xib_N = ref(cost.xi_ref[-1:])[0]
+        W1N = lanes66(cost.P1)
+        W2N = lanes66(cost.P2)
 
         def body(_, carry):
             qR, qp, xi, us, J, g = carry
             lin = self._linearize_lane(qR, qp, xi, us, refs, consts)
             lu = 2.0 * jnp.einsum("ij,njb->nib", cost.R.astype(dtp), us)
-            lxN, lxxN, lN = term_quad(qR, qp, xi)
-            k, K, gvec = self._backward_lane(lin, lu, lxN, lxxN, consts)
+            term = (qR[-1], qp[-1], xi[-1], RbiR_N, Rbip_N, Adb_N, xib_N,
+                    W1N, W2N)
+            k, K, gvec, lN = self._backward_lane(lin, lu, term, consts)
             # gvec_t = lu + Fu^T (V_x[t+1] + V_xx[t+1] d[t]) from the kernel
             g = jnp.mean(jnp.sqrt(jnp.sum(gvec * gvec, axis=1)), axis=0)
             J = jnp.sum(lin["l"][:, 0, :], axis=0) + \
