@@ -165,8 +165,10 @@ def al_cost(base: CostDef, constraint) -> CostDef:
         g = constraint.g(p.constr, q, xi, u, i, terminal)
         gx = constraint.g_x(p.constr, q, xi, u, i, terminal)
         gu = constraint.g_u(p.constr, q, xi, u, i, terminal)
-        lam = p.lmbd[i]
-        Imu = p.Imu[i]
+        # stage-indexed from the trailing axes so per-problem (batched)
+        # multipliers (B, N+1, c) work transparently alongside (N+1, c)
+        lam = jnp.take(p.lmbd, i, axis=-2)
+        Imu = jnp.take(p.Imu, i, axis=-3)
         return g, gx, gu, lam, Imu
 
     def stage_cost(p, q, xi, u, i):
@@ -239,7 +241,7 @@ def al_update_params(p: ALParams, constr_eval, mu_scale=10.0, mu_max=1e8):
         Imu  <- diag(where(g < 0 and lmbd == 0, 0, mu))
     """
     lmbd_new = jnp.clip(
-        p.lmbd + jnp.einsum("ncd,nd->nc", p.Imu, constr_eval), 0.0, None
+        p.lmbd + jnp.einsum("...cd,...d->...c", p.Imu, constr_eval), 0.0, None
     )
     mu_new = jnp.minimum(p.mu * mu_scale, mu_max)
     active = jnp.where((constr_eval < 0.0) & (lmbd_new == 0.0), 0.0, mu_new)

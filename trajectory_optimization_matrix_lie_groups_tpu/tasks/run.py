@@ -21,6 +21,7 @@ Tasks mirror the reference scripts:
     dynamics_sim        main_SE3dynamics.py / main_errSE3dynamics.py
     cost_landscape      visualization/visual_cost_3d_fixed.py
     mpc                 (new) closed-loop receding-horizon MPC demo
+    al_batch            (new) batched input-constrained solves (ALFastSolver)
     sweep               visualization/perturb_all_compute.py (reduced ranges)
 
 Benchmark problems are rebuilt from the reference pickles where available;
@@ -518,6 +519,67 @@ def run_mpc(args):
                             f"{args.plot}/mpc_trajectory.png")
 
 
+def run_al_batch(args):
+    """Batched input-constrained SE(3) tracking: the AL outer loop over a
+    batch of perturbed starts in one SPMD program (new capability — the
+    reference solves one constrained problem per process)."""
+    from trajectory_optimization_matrix_lie_groups_tpu.models import (
+        constraints as cs,
+        costs,
+        dynamics,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.models.base import make_model
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_fast import (
+        ALFastSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import (
+        FastBatchSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    data, _, params0, _, _, _ = build_benchmark("se3_tracking", True)
+    prob = data["prob"]
+    H, B = 60, 32
+    q_ref = jnp.asarray(np.asarray(prob["q_ref"])[: H + 1])
+    xi_ref = jnp.asarray(np.asarray(prob["xi_ref"])[: H + 1].reshape(H + 1, 6))
+    dyn = dynamics.se3_dynamics()
+    dp = dynamics.se3_params(jnp.asarray(prob["J"]), float(prob["dt"]))
+    cd = costs.tracking_cost(SE3, 6)
+    cp = costs.tracking_cost_params(SE3, prob["Q"], prob["R"], prob["P"],
+                                    q_ref, xi_ref)
+    lb, ub = -100.0, 100.0
+    constr = cs.input_box(12, 6)
+    constr_p = cs.input_box_params(lb, ub, 6)
+    al_cd = costs.al_cost(cd, constr)
+    model_c, _ = make_model(dyn, al_cd, dp, None)
+    alp = costs.al_init_params(cp, constr_p, H, constr.constr_size, mu0=1e-2,
+                               dtype=q_ref.dtype)
+
+    dq = 0.03 * jax.random.normal(jax.random.PRNGKey(2), (B, 6),
+                                  dtype=q_ref.dtype)
+    q0s = SE3.normalize(q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(xi_ref[0], (B, 6)) + 0.05
+    us0 = jnp.zeros((B, H, 6), q_ref.dtype)
+
+    inner = FastBatchSolver(model_c, N=H, iterations=25, use_pallas=False)
+    al = ALFastSolver(inner, constr, tol_constr=1e-2)
+    t0 = time.perf_counter()
+    res = al.solve({"dyn": dp, "cost": alp}, q0s, xi0s, us0,
+                   q_ref=q_ref, xi_ref=xi_ref, n_al_iters=15)
+    wall = time.perf_counter() - t0
+    print(json.dumps(dict(
+        task="al_batch", batch=B, horizon=H,
+        outer_iterations=res.outer_iterations,
+        constr_converged=bool(res.constr_converged),
+        max_violation=float(jnp.max(res.max_violation)),
+        u_max=float(jnp.max(res.us)), u_min=float(jnp.min(res.us)),
+        wall_s=round(wall, 2),
+    )))
+
+
 TASKS = {
     "cartpole": run_cartpole,
     "so3_tracking": lambda a: run_benchmark_task("so3_tracking", "so3_tracking", False, a),
@@ -536,6 +598,7 @@ TASKS = {
     "dynamics_sim": run_dynamics_sim,
     "cost_landscape": run_cost_landscape,
     "mpc": run_mpc,
+    "al_batch": run_al_batch,
     "sweep": run_sweep_task,
 }
 
