@@ -21,14 +21,11 @@ us_golden = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_us.npy"))
 dp, cp = params["dyn"], params["cost"]
 
 CONFIGS = [
-    (1024, 512, 1),   # bench.py config — validates the current headline path
-    (1024, 512, 2),
-    (1024, 512, 4),
-    (1024, 512, 5),
-    (1024, 512, 8),
-    (2048, 512, 1),
-    (2048, 512, 4),
-    (4096, 512, 4),
+    (1024, 512, 2),   # bench.py config — validates the current headline path
+    (1024, 256, 2),
+    (1024, 128, 2),
+    (1024, 1024, 2),
+    (512, 256, 2),
 ]
 
 for B, tile, chunk in CONFIGS:
