@@ -94,6 +94,47 @@ def test_sharded_pipeline_matches_single():
                                rtol=1e-12)
 
 
+def test_horizon_sharded_parallel_riccati():
+    """SURVEY §5.7(c): the associative-scan Riccati sweep sharded over the
+    TIME axis of the mesh (long-horizon mode) matches the unsharded sweep."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers import riccati
+
+    N, n, m = 64, 12, 6
+    rng = np.random.default_rng(0)
+    r = lambda *s: jnp.asarray(0.1 * rng.standard_normal(s))
+    eye = jnp.eye(n)
+    Fx = eye + r(N, n, n)
+    Fu = r(N, n, m)
+    d = r(N, n)
+    Lx = r(N + 1, n)
+    Lu = r(N, m)
+    M = rng.standard_normal((N + 1, n, n))
+    Lxx = jnp.asarray(M @ np.swapaxes(M, -1, -2) + 3 * np.eye(n))
+    Lux = r(N, m, n)
+    Mu = rng.standard_normal((N, m, m))
+    Luu = jnp.asarray(Mu @ np.swapaxes(Mu, -1, -2) + 3 * np.eye(m))
+
+    args = (Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu)
+    k0, K0, Vx0, Vxx0 = jax.jit(riccati.parallel_backward)(*args)
+
+    mesh = make_batch_mesh(8, axis="time")
+    tshard = NamedSharding(mesh, P("time"))
+    rep = NamedSharding(mesh, P())
+    # stage-indexed inputs sharded along time; boundary-sized (N+1) arrays
+    # replicated (they carry the terminal condition)
+    sharded = jax.jit(riccati.parallel_backward,
+                      in_shardings=(tshard, tshard, tshard, rep, tshard,
+                                    rep, tshard, tshard),
+                      out_shardings=tshard)
+    k1, K1, Vx1, Vxx1 = sharded(*args)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k0), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K0), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Vxx1), np.asarray(Vxx0), atol=1e-8)
+    assert k1.sharding.is_equivalent_to(tshard, ndim=2)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

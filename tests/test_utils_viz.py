@@ -74,3 +74,26 @@ def test_replay_fallback(tmp_path):
     # unit quaternions
     np.testing.assert_allclose(np.linalg.norm(qp[:, :4], axis=1), 1.0,
                                atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Solver-state pytrees (incl. NamedTuples) round-trip through orbax."""
+    from trajectory_optimization_matrix_lie_groups_tpu.models import costs
+    from trajectory_optimization_matrix_lie_groups_tpu.utils import checkpoint
+
+    state = {
+        "us": jnp.arange(12.0).reshape(2, 6),
+        "step": np.int64(7),
+        "al": costs.ALParams(
+            cost=None, constr=None,
+            lmbd=jnp.ones((3, 4)), Imu=jnp.zeros((3, 4, 4)),
+            mu=jnp.asarray(0.5)),
+    }
+    p = checkpoint.save(str(tmp_path / "ckpt"), state)
+    back = checkpoint.restore(p, template=state)
+    np.testing.assert_array_equal(np.asarray(back["us"]),
+                                  np.asarray(state["us"]))
+    assert isinstance(back["al"], costs.ALParams)
+    np.testing.assert_array_equal(np.asarray(back["al"].lmbd),
+                                  np.ones((3, 4)))
+    assert float(back["al"].mu) == 0.5
