@@ -47,3 +47,18 @@ def test_cli_errstate_tracking(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["converged"]
     assert out["final_err_norm"] < 0.05
+
+
+@pytest.mark.parity
+def test_cli_benchmark_compare(capsys):
+    main(["benchmark_compare"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    s = out["solvers"]
+    # cross-solver agreement (the reference's de-facto integration test)
+    assert out["solvers"]["ms_ss_J_gap"] < 1.0
+    for name in ("ms_ilqr", "ss_ilqr"):
+        assert s[name]["orthogonality_violation_max"] < 1e-5
+        assert s[name]["dynamics_violation_max"] < 1e-5
+    for name in ("baseline_dynconstr", "baseline_logcost",
+                 "baseline_stabilized"):
+        assert s[name]["orthogonality_violation_max"] < 1e-2

@@ -22,6 +22,7 @@ Tasks mirror the reference scripts:
     cost_landscape      visualization/visual_cost_3d_fixed.py
     mpc                 (new) closed-loop receding-horizon MPC demo
     al_batch            (new) batched input-constrained solves (ALFastSolver)
+    benchmark_compare   benchmark_SE3_tracking.py (cross-solver agreement)
     sweep               visualization/perturb_all_compute.py (reduced ranges)
 
 Benchmark problems are rebuilt from the reference pickles where available;
@@ -519,6 +520,76 @@ def run_mpc(args):
                             f"{args.plot}/mpc_trajectory.png")
 
 
+def run_benchmark_compare(args):
+    """Cross-solver agreement benchmark (ref `benchmark_SE3_tracking.py`):
+    MS-iLQR vs SS-iLQR vs the three embedded baselines on one SE(3)
+    tracking slice, with the reference's metrics — manifold violation
+    ||R^T R - I|| (:414-418), dynamics violation via one-step re-simulation
+    (:453-457), and final tracking error (:832-848)."""
+    import dataclasses
+
+    from trajectory_optimization_matrix_lie_groups_tpu.baselines.embedded import (
+        solve_se3_matrix,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import LieILQR
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.utils import metrics
+
+    data, solver_ms, params, x0, _, _ = build_benchmark("se3_tracking", True)
+    prob = data["prob"]
+    H = 120
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    cp = cp._replace(q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+                     Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))
+    params = {**params, "cost": cp}
+    q0 = SE3.normalize(cp.q_ref[0] @ SE3.exp(
+        jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.02, 0.01], cp.xi_ref.dtype)))
+    xi0 = cp.xi_ref[0] + 0.05
+    us0 = jnp.zeros((H, 6), cp.xi_ref.dtype)
+    model = solver_ms.model
+    out = {}
+
+    def lie_metrics(name, qs, xis, us, J_hist):
+        orth = metrics.orthogonality_violation(qs)
+        dyn_v = metrics.dynamics_violation(model, params, qs, xis, us)
+        track = metrics.tracking_errors(SE3, cp, qs, xis)
+        out[name] = dict(
+            J_final=float(J_hist[-1]),
+            orthogonality_violation_max=float(jnp.max(orth)),
+            dynamics_violation_max=float(jnp.max(dyn_v)),
+            tracking_err_final=float(track[0][-1]),
+        )
+
+    for name, ms in (("ms_ilqr", True), ("ss_ilqr", False)):
+        cfg = dataclasses.replace(solver_ms.cfg, N=H, multiple_shooting=ms,
+                                  max_iterations=100)
+        s = LieILQR(model, cfg)
+        (qs, xis), us, J_hist, *_ = s.fit(params, (q0, xi0), us0)
+        lie_metrics(name, qs, xis, us, J_hist)
+
+    q_ref_np = np.asarray(cp.q_ref)
+    xi_ref_np = np.asarray(cp.xi_ref)
+    for variant in ("dynconstr", "logcost", "stabilized"):
+        xs, us, J_hist, grad_hist, st = solve_se3_matrix(
+            prob["J"], float(prob["dt"]), q_ref_np, xi_ref_np,
+            prob["Q"], prob["R"], prob["P"], (q0, xi0), us0,
+            variant=variant, n_iterations=60)
+        Rms = np.asarray(xs)[:, :9].reshape(-1, 3, 3)
+        out[f"baseline_{variant}"] = dict(
+            J_final=float(J_hist[-1]),
+            orthogonality_violation_max=float(np.max(np.asarray(
+                metrics.orthogonality_violation(Rms)))),
+        )
+    # cross-solver agreement: the Lie solvers must agree closely
+    dj = abs(out["ms_ilqr"]["J_final"] - out["ss_ilqr"]["J_final"])
+    out["ms_ss_J_gap"] = dj
+    print(json.dumps(dict(task="benchmark_compare", horizon=H, solvers=out)))
+
+
 def run_al_batch(args):
     """Batched input-constrained SE(3) tracking: the AL outer loop over a
     batch of perturbed starts in one SPMD program (new capability — the
@@ -599,6 +670,7 @@ TASKS = {
     "cost_landscape": run_cost_landscape,
     "mpc": run_mpc,
     "al_batch": run_al_batch,
+    "benchmark_compare": run_benchmark_compare,
     "sweep": run_sweep_task,
 }
 
