@@ -71,3 +71,43 @@ def test_native_matches_jax_engine():
     us, J, g = s.solve_batch(np.asarray(q0s), np.asarray(xi0s))
     np.testing.assert_allclose(us, np.asarray(ref.us), atol=1e-8)
     np.testing.assert_allclose(J, np.asarray(ref.J_opt), rtol=1e-10)
+
+
+def test_native_drone_gravity_matches_jax_engine():
+    """Drone family (gravity wrench + 6x4 Pu, nu=4) vs FastBatchSolver."""
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import (
+        FastBatchSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    import jax
+
+    H, ITERS, B = 30, 5, 2
+    data, solver, params, x0, us0, _ = build_benchmark("drone_racing", True)
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    params = {**params, "cost": cp._replace(
+        q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+        Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))}
+    cp = params["cost"]
+    dp = params["dyn"]
+    dq = 0.03 * jax.random.normal(jax.random.PRNGKey(3), (B, 6))
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6))
+    fast = FastBatchSolver(solver.model, N=H, iterations=ITERS,
+                           use_pallas=False)
+    ref = fast.solve(params, q0s, xi0s, jnp.zeros((B, H, 4)),
+                     cp.q_ref, cp.xi_ref)
+
+    prob = data["prob"]
+    s = native.NativeSE3Solver(prob["J"], prob["dt"], prob["Q"], prob["R"],
+                               prob["P"], np.asarray(cp.q_ref),
+                               np.asarray(cp.xi_ref), iterations=ITERS,
+                               g=float(dp.g), Pu=np.asarray(dp.Pu))
+    assert s.nu == 4
+    us, J, g = s.solve_batch(np.asarray(q0s), np.asarray(xi0s))
+    assert us.shape == (B, H, 4)
+    np.testing.assert_allclose(us, np.asarray(ref.us), atol=1e-8)
+    np.testing.assert_allclose(J, np.asarray(ref.J_opt), rtol=1e-10)

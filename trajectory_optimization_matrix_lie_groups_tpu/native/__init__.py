@@ -55,6 +55,14 @@ def _load():
     lib.traopt_se3_ms_ilqr_solve_batch.argtypes = [
         dp, ctypes.c_double, dp, dp, dp, dp, dp, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, dp, dp, dp, dp, dp]
+    lib.traopt_rb_ms_ilqr_solve.restype = ctypes.c_int
+    lib.traopt_rb_ms_ilqr_solve.argtypes = [
+        dp, ctypes.c_double, ctypes.c_double, dp, ctypes.c_int, dp, dp, dp,
+        dp, dp, ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp]
+    lib.traopt_rb_ms_ilqr_solve_batch.restype = ctypes.c_int
+    lib.traopt_rb_ms_ilqr_solve_batch.argtypes = [
+        dp, ctypes.c_double, ctypes.c_double, dp, ctypes.c_int, dp, dp, dp,
+        dp, dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp]
     return lib
 
 
@@ -73,13 +81,16 @@ def _ptr(a):
 
 
 class NativeSE3Solver:
-    """Serial C++ MS-iLQR (fixed budget, mu = 0) on the SE(3) tracking family.
+    """Serial C++ MS-iLQR (fixed budget, mu = 0) on the SE(3) tracking
+    families: free body (default), rigid body under gravity (``g > 0``),
+    and the drone (``Pu`` 6x4 projection, nu = 4).
 
     Same iterate sequence as `solvers.batched.FastBatchSolver` at f64; see
     native/src/ilqr.cpp for the solver layout.
     """
 
-    def __init__(self, J, dt, Q, R, P, q_ref, xi_ref, iterations: int):
+    def __init__(self, J, dt, Q, R, P, q_ref, xi_ref, iterations: int,
+                 g: float = 0.0, Pu=None):
         if LIB is None:
             raise RuntimeError("native library unavailable (no g++?)")
         self.J = _c(J)
@@ -91,15 +102,24 @@ class NativeSE3Solver:
         self.xi_ref = _c(xi_ref).reshape(-1, 6)
         self.N = self.q_ref.shape[0] - 1
         self.iterations = iterations
+        self.g = float(g)
+        self.Pu = None if Pu is None else _c(Pu)
+        self.nu = 6 if self.Pu is None else int(self.Pu.shape[1])
+        if self.R.shape != (self.nu, self.nu):
+            raise ValueError(f"R must be ({self.nu},{self.nu})")
+
+    def _pu_ptr(self):
+        return None if self.Pu is None else _ptr(self.Pu)
 
     def solve(self, q0, xi0, us0=None):
         """One problem: returns (us, J, grad_norm)."""
         us = (_c(us0).copy() if us0 is not None
-              else np.zeros((self.N, 6)))
+              else np.zeros((self.N, self.nu)))
         J_out = np.zeros(1)
         g_out = np.zeros(1)
-        rc = LIB.traopt_se3_ms_ilqr_solve(
-            _ptr(self.J), self.dt, _ptr(self.Q), _ptr(self.R), _ptr(self.P),
+        rc = LIB.traopt_rb_ms_ilqr_solve(
+            _ptr(self.J), self.dt, self.g, self._pu_ptr(), self.nu,
+            _ptr(self.Q), _ptr(self.R), _ptr(self.P),
             _ptr(self.q_ref), _ptr(self.xi_ref), self.N, self.iterations,
             _ptr(_c(q0)), _ptr(_c(xi0)), _ptr(us), _ptr(J_out), _ptr(g_out))
         if rc:
@@ -107,15 +127,16 @@ class NativeSE3Solver:
         return us, float(J_out[0]), float(g_out[0])
 
     def solve_batch(self, q0s, xi0s, us0=None):
-        """B independent problems: returns (us (B,N,6), J (B,), grad (B,))."""
+        """B independent problems: returns (us (B,N,nu), J (B,), grad (B,))."""
         q0s = _c(q0s)
         B = q0s.shape[0]
         us = (_c(us0).copy() if us0 is not None
-              else np.zeros((B, self.N, 6)))
+              else np.zeros((B, self.N, self.nu)))
         J_out = np.zeros(B)
         g_out = np.zeros(B)
-        rc = LIB.traopt_se3_ms_ilqr_solve_batch(
-            _ptr(self.J), self.dt, _ptr(self.Q), _ptr(self.R), _ptr(self.P),
+        rc = LIB.traopt_rb_ms_ilqr_solve_batch(
+            _ptr(self.J), self.dt, self.g, self._pu_ptr(), self.nu,
+            _ptr(self.Q), _ptr(self.R), _ptr(self.P),
             _ptr(self.q_ref), _ptr(self.xi_ref), self.N, self.iterations, B,
             _ptr(q0s), _ptr(_c(xi0s)), _ptr(us), _ptr(J_out), _ptr(g_out))
         if rc:
