@@ -156,3 +156,64 @@ def test_pipeline_stage_chunk():
     np.testing.assert_allclose(np.asarray(a.us), np.asarray(b.us), atol=1e-8)
     np.testing.assert_allclose(np.asarray(a.J_opt), np.asarray(b.J_opt),
                                rtol=1e-10)
+
+
+def test_pipeline_fused_matches_unfused():
+    """2-kernel fused (rollout+linearize) layout == 3-kernel layout exactly."""
+    data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    H, B, ITERS = 20, 2, 4
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    cp = cp._replace(q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+                     Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))
+    dp = params["dyn"]
+
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+
+    # f64: the two layouts must be algorithmically identical
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(13), (B, 6))
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6))
+    us0s = jnp.zeros((B, H, 6))
+
+    interp = jax.default_backend() != "tpu"
+    a = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                             interpret=interp, fused=False
+                             ).solve(dp, cp, q0s, xi0s, us0s)
+    b = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                             interpret=interp, fused=True
+                             ).solve(dp, cp, q0s, xi0s, us0s)
+    np.testing.assert_allclose(np.asarray(b.us), np.asarray(a.us), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.J_opt), np.asarray(a.J_opt),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.grad_norm),
+                               np.asarray(a.grad_norm), rtol=1e-10)
+
+
+def test_pipeline_fused_drone_gravity():
+    """Fused layout on the drone family (gravity + nu=4)."""
+    data, solver, params, x0, us0, _ = build_benchmark("drone_racing", True)
+    H, B, ITERS = 16, 2, 3
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    cp = cp._replace(q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+                     Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))
+    dp = params["dyn"]
+
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+
+    dq = 0.03 * jax.random.normal(jax.random.PRNGKey(5), (B, 6))
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6))
+    us0s = jnp.zeros((B, H, 4))
+
+    interp = jax.default_backend() != "tpu"
+    a = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                             interpret=interp, gravity=True, fused=False
+                             ).solve(dp, cp, q0s, xi0s, us0s)
+    b = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                             interpret=interp, gravity=True, fused=True
+                             ).solve(dp, cp, q0s, xi0s, us0s)
+    np.testing.assert_allclose(np.asarray(b.us), np.asarray(a.us), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.J_opt), np.asarray(a.J_opt),
+                               rtol=1e-12)

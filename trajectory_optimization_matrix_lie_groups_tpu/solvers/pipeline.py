@@ -247,6 +247,131 @@ def _rollout_kernel_lane(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
     xi_s[:] = xi_new
 
 
+# -- fused rollout + next-iteration linearization -----------------------------
+
+def _rollout_linearize_kernel(
+        qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref, u_ref,
+        k_ref, K_ref, d_ref, fqR_ref, fqp_ref, fxi_ref,
+        RbiR_ref, Rbip_ref, Adb_ref, xib_ref,
+        Jl_ref, Jil_ref, W1_ref, W2_ref, Pu_ref, mg_ref,
+        oR_ref, op_ref, oxi_ref, ou_ref,
+        nfqR_ref, nfqp_ref, nfxi_ref, nd_ref, nFx_ref, nlx_ref,
+        nlxx_ref, nl_ref,
+        R_s, p_s, xi_s,
+        *, dt, gravity=False, exact_grav=False, chunk=1):
+    """Gap-closing rollout of stage t fused with the linearization of stage
+    t of the NEW trajectory: the rollout's dynamics evaluation at the new
+    (x_t, u_t) IS the linearizer's, and the freshly produced x_{t+1} closes
+    the defect — so the next iteration's linearize pass (its own N-step grid
+    sweep + re-reading the trajectory from HBM) disappears entirely.
+    Outputs: the new trajectory/controls plus the full stage linearization
+    (nfq*, nfxi, nd, nFx, nlx, nlxx, nl) consumed by the next backward."""
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        R_s[:] = qR_ref[0]
+        p_s[:] = qp_ref[0]
+        xi_s[:] = xi_ref[0]
+
+    R_new, p_new, xi_new = R_s[:], p_s[:], xi_s[:]
+    for t in range(chunk):
+        dtp = R_new.dtype
+        B = R_new.shape[-1]
+        # ---- rollout step t (identical math to _rollout_kernel_lane) ----
+        Ri_inv, pi_inv = pll.se3_inverse(qR_ref[t], qp_ref[t])
+        Re, pe = pll.se3_compose(Ri_inv, pi_inv, R_new, p_new)
+        xs_err = jnp.concatenate(
+            [pll.se3_log(Re, pe), xi_new - xi_ref[t]], axis=0)
+        K = K_ref[t]
+        u_new = u_ref[t] + k_ref[t] + sum(
+            K[:, j, :] * xs_err[j:j + 1, :] for j in range(NX))
+        ReE, peE = pll.se3_exp(xi_new * dt)
+        fqR_n, fqp_n = pll.se3_compose(R_new, p_new, ReE, peE)
+        fqR_n = pll.so3_normalize(fqR_n)
+        Jxi = pll.matvec(Jl_ref[:], xi_new, 6)
+        w, v = xi_new[:3], xi_new[3:]
+        nu = u_new.shape[0]
+        wrench = jnp.concatenate(
+            [-_cross(w, Jxi[:3]) - _cross(v, Jxi[3:]), -_cross(w, Jxi[3:])],
+            axis=0) + pll.matvec(Pu_ref[:], u_new, nu)
+        if gravity:
+            g_lin = -mg_ref[0][None, :] * R_new[2]
+            wrench = wrench + jnp.concatenate(
+                [jnp.zeros_like(g_lin), g_lin], axis=0)
+        fxi_new = xi_new + dt * pll.matvec(Jil_ref[:], wrench, 6)
+        d = d_ref[t]
+        edR, edp = pll.se3_exp(d[:6])
+        fiR, fip = pll.se3_inverse(fqR_ref[t], fqp_ref[t])
+        R_a, p_a = pll.se3_compose(qRn_ref[t], qpn_ref[t], edR, edp)
+        R_b, p_b = pll.se3_compose(R_a, p_a, fiR, fip)
+        R_nn, p_nn = pll.se3_compose(R_b, p_b, fqR_n, fqp_n)
+        R_nn = pll.so3_normalize(R_nn)
+        xi_nn = xin_ref[t] + fxi_new - fxi_ref[t] + d[6:]
+
+        # ---- linearize stage t of the NEW trajectory --------------------
+        # dynamics eval (fqR_n, fqp_n, fxi_new) reused from the rollout;
+        # defect against the gap-closed x_{t+1}
+        Rni, pni = pll.se3_inverse(R_nn, p_nn)
+        Rd, pd = pll.se3_compose(Rni, pni, fqR_n, fqp_n)
+        nd = jnp.concatenate([pll.se3_log(Rd, pd), fxi_new - xi_nn], axis=0)
+
+        tau = xi_new * dt
+        ReN, peN = pll.se3_exp(-tau)
+        J_q_q = pll.se3_Ad(ReN, peN)
+        J_q_xi = pll.se3_right_jacobian(tau) * dt
+        coad_sw = pll.blk(-pll.hat(v), -pll.hat(w),
+                          jnp.zeros((3, 3, B), dtp), -pll.hat(v))
+        Ibw = pll.matvec3(Jl_ref[0:3, 0:3, :], w)
+        m = Jl_ref[4, 4, :]
+        Gw = pll.hat(Ibw)
+        Gv = m[None, None, :] * pll.hat(v)
+        G = pll.blk(Gw, Gv, Gv, jnp.zeros((3, 3, B), dtp))
+        H = pll.matmul(Jil_ref[:], pll.matmul(coad_sw, Jl_ref[:], 6) + G, 6)
+        eye6 = pll.blk(pll._eye3(dtp, B), jnp.zeros((3, 3, B), dtp),
+                       jnp.zeros((3, 3, B), dtp), pll._eye3(dtp, B))
+        if gravity:
+            grow = -R_new[2] if not exact_grav \
+                else -(mg_ref[0][None, :] * R_new[2])
+            Z3 = jnp.zeros((3, 3, B), dtp)
+            J_xi_q = pll.matmul(Jil_ref[:],
+                                pll.blk(Z3, Z3, pll.hat(grow), Z3), 6) * dt
+        else:
+            J_xi_q = jnp.zeros((6, 6, B), dtp)
+        Fx = pll.blk(J_q_q, J_q_xi, J_xi_q, eye6 + H * dt)
+
+        Reb, peb = pll.se3_compose(R_new, p_new, RbiR_ref[t], Rbip_ref[t])
+        e = pll.se3_log(Reb, peb)
+        ev = xi_new - xib_ref[t]
+        Jex = pll.matmul(pll.se3_right_jacobian_inv(e), Adb_ref[t], 6)
+        JT2 = 2.0 * pll.transpose(Jex)
+        W1 = W1_ref[:]
+        W2 = W2_ref[:]
+        W1e = pll.matvec(W1, e, 6)
+        W2ev = pll.matvec(W2, ev, 6)
+        nlx = jnp.concatenate([pll.matvec(JT2, W1e, 6), 2.0 * W2ev], axis=0)
+        H_e = pll.matmul(pll.matmul(JT2, W1, 6), Jex, 6)
+        nlxx = pll.blk(H_e, jnp.zeros((6, 6, B), dtp),
+                       jnp.zeros((6, 6, B), dtp), 2.0 * W2)
+        nl = (sum(e[i] * W1e[i] for i in range(6))
+              + sum(ev[i] * W2ev[i] for i in range(6)))
+
+        oR_ref[t] = R_nn
+        op_ref[t] = p_nn
+        oxi_ref[t] = xi_nn
+        ou_ref[t] = u_new
+        nfqR_ref[t] = fqR_n
+        nfqp_ref[t] = fqp_n
+        nfxi_ref[t] = fxi_new
+        nd_ref[t] = nd
+        nFx_ref[t] = Fx
+        nlx_ref[t] = nlx
+        nlxx_ref[t] = nlxx
+        nl_ref[t] = nl[None, :]
+        R_new, p_new, xi_new = R_nn, p_nn, xi_nn
+    R_s[:] = R_new
+    p_s[:] = p_new
+    xi_s[:] = xi_new
+
+
 class PipelineState(NamedTuple):
     qs: jnp.ndarray    # (B, N+1, 4, 4)
     xis: jnp.ndarray
@@ -261,7 +386,7 @@ class PallasPipelineSolver:
     def __init__(self, N: int, iterations: int, dt: float,
                  interpret: bool = False, batch_tile: int = None,
                  gravity: bool = False, exact_gravity_jacobian: bool = False,
-                 stage_chunk: int = 1):
+                 stage_chunk: int = 1, fused: bool = True):
         """``batch_tile`` (divides B): lanes per kernel grid step.  Kernels
         run on a (B // batch_tile, N) grid so VMEM holds one tile's blocks
         instead of the whole batch — required for B > ~512 at f32.
@@ -273,12 +398,18 @@ class PallasPipelineSolver:
         ``stage_chunk`` (divides N): stages processed per kernel grid step —
         larger chunks amortize per-step grid overhead and HBM<->VMEM transfer
         latency at the cost of ``chunk``x VMEM blocks and kernel-body
-        unrolling (compile time)."""
+        unrolling (compile time).
+
+        ``fused``: run each iteration's rollout fused with the NEXT
+        iteration's stage linearization (one combined kernel; the rollout's
+        dynamics eval is the linearizer's) — 2 kernels per iteration instead
+        of 3.  Iterates are identical; set False for the 3-kernel layout."""
         self.N = N
         self.iterations = iterations
         self.dt = float(dt)
         self.interpret = interpret
         self.batch_tile = batch_tile
+        self.fused = fused
         self.gravity = gravity
         self.exact_grav = exact_gravity_jacobian
         if N % stage_chunk:
@@ -439,6 +570,67 @@ class PallasPipelineSolver:
         xi_new = jnp.concatenate([xi[:1], oxi], axis=0)
         return qR_new, qp_new, xi_new, ou
 
+    def _rollout_linearize_lane(self, qR, qp, xi, us, k, K, lin, refs,
+                                consts):
+        """Fused rollout + next-iteration linearization (see the kernel)."""
+        N = self.N
+        dtp = us.dtype
+        B = us.shape[-1]
+        nu = us.shape[-2]
+        nb, bt = self._tiles(B)
+        ck = self.stage_chunk
+
+        def spec(a):
+            r = len(a.shape)
+            return pl.BlockSpec((ck,) + a.shape[1:-1] + (bt,),
+                                lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
+
+        def cspec(a):
+            r = len(a.shape)
+            return pl.BlockSpec(a.shape[:-1] + (bt,),
+                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+
+        ins = [qR[:-1], qp[:-1], qR[1:], qp[1:], xi[:-1], xi[1:], us, k, K,
+               lin["d"], lin["fqR"], lin["fqp"], lin["fxi"],
+               refs["RbiR"], refs["Rbip"], refs["Adb"], refs["xib"]]
+        consts_in = [consts["Jl"], consts["Jil"], consts["W1"],
+                     consts["W2"], consts["Pu"], consts["mg"]]
+        in_specs = [spec(a) for a in ins] + [cspec(a) for a in consts_in]
+        out_shapes = (
+            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),   # oR
+            jax.ShapeDtypeStruct((N, 3, B), dtp),      # op
+            jax.ShapeDtypeStruct((N, 6, B), dtp),      # oxi
+            jax.ShapeDtypeStruct((N, nu, B), dtp),     # ou
+            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),   # nfqR
+            jax.ShapeDtypeStruct((N, 3, B), dtp),      # nfqp
+            jax.ShapeDtypeStruct((N, 6, B), dtp),      # nfxi
+            jax.ShapeDtypeStruct((N, 12, B), dtp),     # nd
+            jax.ShapeDtypeStruct((N, 12, 12, B), dtp),  # nFx
+            jax.ShapeDtypeStruct((N, 12, B), dtp),     # nlx
+            jax.ShapeDtypeStruct((N, 12, 12, B), dtp),  # nlxx
+            jax.ShapeDtypeStruct((N, 1, B), dtp),      # nl
+        )
+        out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
+        kernel = functools.partial(_rollout_linearize_kernel, dt=self.dt,
+                                   gravity=self.gravity,
+                                   exact_grav=self.exact_grav, chunk=ck)
+        (oR, op, oxi, ou, nfqR, nfqp, nfxi, nd, nFx, nlx, nlxx,
+         nl) = pl.pallas_call(
+            kernel, grid=(nb, N // ck), out_shape=out_shapes,
+            in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((3, 3, bt), dtp),
+                            pltpu.VMEM((3, bt), dtp),
+                            pltpu.VMEM((6, bt), dtp)],
+            interpret=self.interpret,
+            compiler_params=None if self.interpret else _DIMSEM,
+        )(*ins, *consts_in)
+        qR_new = jnp.concatenate([qR[:1], oR], axis=0)
+        qp_new = jnp.concatenate([qp[:1], op], axis=0)
+        xi_new = jnp.concatenate([xi[:1], oxi], axis=0)
+        new_lin = dict(fqR=nfqR, fqp=nfqp, fxi=nfxi, d=nd, Fx=nFx, lx=nlx,
+                       lxx=nlxx, l=nl)
+        return qR_new, qp_new, xi_new, ou, new_lin
+
     # ----------------------------------------------------------------------
 
     def _prepare(self, dyn, cost, q0s, xi0s, us0):
@@ -510,9 +702,7 @@ class PallasPipelineSolver:
         W1N = lanes66(cost.P1)
         W2N = lanes66(cost.P2)
 
-        def body(_, carry):
-            qR, qp, xi, us, J, g = carry
-            lin = self._linearize_lane(qR, qp, xi, us, refs, consts)
+        def backward_metrics(qR, qp, xi, us, lin):
             lu = 2.0 * jnp.einsum("ij,njb->nib", cost.R.astype(dtp), us)
             term = (qR[-1], qp[-1], xi[-1], RbiR_N, Rbip_N, Adb_N, xib_N,
                     W1N, W2N)
@@ -521,12 +711,36 @@ class PallasPipelineSolver:
             g = jnp.mean(jnp.sqrt(jnp.sum(gvec * gvec, axis=1)), axis=0)
             J = jnp.sum(lin["l"][:, 0, :], axis=0) + \
                 jnp.einsum("nib,ij,njb->b", us, cost.R.astype(dtp), us) + lN
-            qR, qp, xi, us = self._rollout_lane(qR, qp, xi, us, k, K, lin, consts)
-            return qR, qp, xi, us, J, g
+            return k, K, J, g
 
-        init = (qR, qp, xi, us, jnp.full((B,), jnp.inf, dtp),
-                jnp.full((B,), jnp.inf, dtp))
-        qR, qp, xi, us, J, g = lax.fori_loop(0, self.iterations, body, init)
+        if self.fused:
+            # 2 kernels/iteration: backward + (rollout fused with the next
+            # iteration's linearization); one standalone linearize up front
+            def body(_, carry):
+                qR, qp, xi, us, lin, J, g = carry
+                k, K, J, g = backward_metrics(qR, qp, xi, us, lin)
+                qR, qp, xi, us, lin = self._rollout_linearize_lane(
+                    qR, qp, xi, us, k, K, lin, refs, consts)
+                return qR, qp, xi, us, lin, J, g
+
+            lin0 = self._linearize_lane(qR, qp, xi, us, refs, consts)
+            init = (qR, qp, xi, us, lin0, jnp.full((B,), jnp.inf, dtp),
+                    jnp.full((B,), jnp.inf, dtp))
+            qR, qp, xi, us, _, J, g = lax.fori_loop(
+                0, self.iterations, body, init)
+        else:
+            def body(_, carry):
+                qR, qp, xi, us, J, g = carry
+                lin = self._linearize_lane(qR, qp, xi, us, refs, consts)
+                k, K, J, g = backward_metrics(qR, qp, xi, us, lin)
+                qR, qp, xi, us = self._rollout_lane(qR, qp, xi, us, k, K,
+                                                    lin, consts)
+                return qR, qp, xi, us, J, g
+
+            init = (qR, qp, xi, us, jnp.full((B,), jnp.inf, dtp),
+                    jnp.full((B,), jnp.inf, dtp))
+            qR, qp, xi, us, J, g = lax.fori_loop(
+                0, self.iterations, body, init)
 
         # back to solver layout
         bk = lambda x: jnp.moveaxis(x, -1, 0)
