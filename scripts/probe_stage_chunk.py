@@ -21,11 +21,10 @@ us_golden = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_us.npy"))
 dp, cp = params["dyn"], params["cost"]
 
 CONFIGS = [
-    (1024, 512, 2),   # bench.py config — validates the current headline path
-    (1024, 256, 2),
-    (1024, 128, 2),
-    (1024, 1024, 2),
-    (512, 256, 2),
+    (16384, 256, 2),
+    (8192, 128, 2),
+    (32768, 256, 2),
+    (16384, 128, 2),
 ]
 
 for B, tile, chunk in CONFIGS:
@@ -45,11 +44,12 @@ for B, tile, chunk in CONFIGS:
         out = solver.solve(dp, cp, batches[0], xi0s, us0)
         _ = np.asarray(out.us)
         t_compile = time.perf_counter() - t0
-        t0 = time.perf_counter()
+        dt = np.inf
         for r in range(1, reps + 1):
+            t0 = time.perf_counter()
             out = solver.solve(dp, cp, batches[r], xi0s, us0)
-            _ = np.asarray(out.us)
-        dt = (time.perf_counter() - t0) / reps
+            _ = np.asarray(out.us[:, 0, :])  # MPC readback barrier (bench.py)
+            dt = min(dt, time.perf_counter() - t0)
         err = float(np.max(np.abs(np.asarray(out.us[0], np.float64) - us_golden)))
         print(json.dumps({"B": B, "tile": tile, "chunk": chunk,
                           "solves_per_s": round(B / dt, 1),
