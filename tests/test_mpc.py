@@ -86,3 +86,49 @@ def test_mpc_f32_closed_loop_fidelity():
     dxi = np.max(np.abs(np.asarray(out32.xis, np.float64)
                         - np.asarray(out64.xis)))
     assert dxi < 1e-4
+
+
+def test_batched_closed_loop_matches_host_loop():
+    """Pipeline-backed batched MPC scan == a host loop of pipe.solve calls."""
+    import jax
+
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.mpc import (
+        make_closed_loop_batch,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
+        PallasPipelineSolver,
+    )
+
+    data, solver_full, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    cp_full = params["cost"]
+    dp = params["dyn"]
+    model = solver_full.model
+    H, T, B = 10, 5, 3
+    interp = jax.default_backend() != "tpu"
+    pipe = PallasPipelineSolver(N=H, iterations=3, dt=float(dp.dt),
+                                interpret=interp)
+    run = make_closed_loop_batch(pipe, model, T)
+
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(4), (B, 6))
+    q0s = SE3.normalize(cp_full.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp_full.xi_ref[0], (B, 6)) + 0.1
+    res = run(dp, cp_full, q0s, xi0s)
+    assert res.us.shape == (B, T, 6)
+    assert bool(jnp.all(jnp.isfinite(res.J_pred)))
+
+    # manual host loop with the same solver must agree exactly
+    qs, xis = q0s, xi0s
+    us_warm = jnp.zeros((B, H, 6), xi0s.dtype)
+    for t in range(T):
+        cut = lambda a: a[t: t + H + 1]
+        cp_t = cp_full._replace(
+            q_ref=cut(cp_full.q_ref), q_ref_inv=cut(cp_full.q_ref_inv),
+            Ad_ref=cut(cp_full.Ad_ref), xi_ref=cut(cp_full.xi_ref))
+        out = pipe.solve(dp, cp_t, qs, xis, us_warm)
+        u0 = out.us[:, 0]
+        np.testing.assert_allclose(np.asarray(res.us[:, t]), np.asarray(u0),
+                                   atol=1e-10)
+        qs, xis = model.step({"dyn": dp, "cost": cp_t}, qs, xis, u0, 0)
+        us_warm = jnp.concatenate([out.us[:, 1:], out.us[:, -1:]], axis=1)
+    np.testing.assert_allclose(np.asarray(res.qs[:, -1]), np.asarray(qs),
+                               atol=1e-10)

@@ -31,6 +31,13 @@ class MPCResult(NamedTuple):
     J_pred: jnp.ndarray  # (T,) predicted cost per solve
 
 
+class BatchMPCResult(NamedTuple):
+    qs: jnp.ndarray      # (B, T+1, 4, 4) closed-loop plant trajectories
+    xis: jnp.ndarray     # (B, T+1, 6)
+    us: jnp.ndarray      # (B, T, nu) applied controls
+    J_pred: jnp.ndarray  # (B, T) predicted cost per solve
+
+
 def make_closed_loop(solver: LieILQR, T: int):
     """Build a jitted closed-loop simulator.
 
@@ -77,5 +84,62 @@ def make_closed_loop(solver: LieILQR, T: int):
         qs = jnp.concatenate([q0[None], qs_t], axis=0)
         xis = jnp.concatenate([xi0[None], xis_t], axis=0)
         return MPCResult(qs=qs, xis=xis, us=us_applied, J_pred=J_pred)
+
+    return jax.jit(run)
+
+
+def make_closed_loop_batch(pipe, model, T: int):
+    """Batched Monte-Carlo closed-loop MPC on the lane-layout pipeline.
+
+    B plant instances (perturbed starts / disturbance draws) track the SAME
+    reference path in lockstep: every plant step slices one H-window of the
+    reference, solves all B instances with the Pallas pipeline
+    (`solvers.pipeline.PallasPipelineSolver` — ``pipe.iterations`` is the
+    per-step budget, warm-started from the shifted previous solution),
+    applies each instance's first control to its own plant, and advances.
+    The whole T-step x B-instance simulation is one XLA program.
+
+    Args:
+      pipe: PallasPipelineSolver with N = horizon H (its ``gravity`` flag
+        must match ``model``).
+      model: the LieModel of the same family (plant stepping).
+      T: closed-loop steps; the full reference needs >= T + H + 1 entries.
+
+    Returns:
+      run(dp, cp_full, q0s, xi0s) -> BatchMPCResult.
+    """
+    H = pipe.N
+
+    def window(cp: costs.TrackingCostParams, t):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, t, H + 1, axis=0)
+        return cp._replace(
+            q_ref=sl(cp.q_ref), q_ref_inv=sl(cp.q_ref_inv),
+            Ad_ref=sl(cp.Ad_ref), xi_ref=sl(cp.xi_ref),
+        )
+
+    def run(dp, cp_full, q0s, xi0s):
+        B = q0s.shape[0]
+        nu = model.nu
+        params = {"dyn": dp, "cost": cp_full}
+
+        def mpc_step(carry, t):
+            qs, xis, us_warm = carry
+            cp_t = window(cp_full, t)
+            out = pipe._solve(dp, cp_t, qs, xis, us_warm)
+            u0 = out.us[:, 0]
+            q_next, xi_next = model.step(params, qs, xis, u0, 0)
+            us_next = jnp.concatenate([out.us[:, 1:], out.us[:, -1:]], axis=1)
+            return (q_next, xi_next, us_next), (q_next, xi_next, u0,
+                                                out.J_opt)
+
+        us0 = jnp.zeros((B, H, nu), dtype=xi0s.dtype)
+        (_, _, _), (qs_t, xis_t, us_applied, J_pred) = lax.scan(
+            mpc_step, (q0s, xi0s, us0), jnp.arange(T))
+        # scan stacks along axis 0 (time); move batch first
+        tb = lambda x: jnp.moveaxis(x, 0, 1)
+        qs = jnp.concatenate([q0s[:, None], tb(qs_t)], axis=1)
+        xis = jnp.concatenate([xi0s[:, None], tb(xis_t)], axis=1)
+        return BatchMPCResult(qs=qs, xis=xis, us=tb(us_applied),
+                              J_pred=tb(J_pred))
 
     return jax.jit(run)

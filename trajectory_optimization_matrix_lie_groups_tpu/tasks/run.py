@@ -22,6 +22,7 @@ Tasks mirror the reference scripts:
     cost_landscape      visualization/visual_cost_3d_fixed.py
     mpc                 (new) closed-loop receding-horizon MPC demo
     al_batch            (new) batched input-constrained solves (ALFastSolver)
+    mpc_batch           (new) Monte-Carlo closed-loop MPC on the pipeline
     benchmark_compare   benchmark_SE3_tracking.py (cross-solver agreement)
     sweep               visualization/perturb_all_compute.py (reduced ranges)
 
@@ -651,6 +652,63 @@ def run_al_batch(args):
     )))
 
 
+def run_mpc_batch(args):
+    """Monte-Carlo closed-loop MPC: B perturbed plants track the SE(3) path
+    simultaneously, every step solved by the lane-layout Pallas pipeline
+    (new capability — the per-step inner solves of all instances run as one
+    kernel program)."""
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.mpc import (
+        make_closed_loop_batch,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
+        PallasPipelineSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    data, solver_full, params, _, _, _ = build_benchmark("se3_tracking", True)
+    cp = params["cost"]
+    dp = params["dyn"]
+    to32 = lambda t: jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, t)
+    cp, dp = to32(cp), to32(dp)
+    on_tpu = jax.default_backend() == "tpu"
+    B, H, T = (1024, 40, 100) if on_tpu else (4, 10, 5)
+    pipe = PallasPipelineSolver(N=H, iterations=4, dt=float(dp.dt),
+                                interpret=not on_tpu,
+                                batch_tile=256 if on_tpu else None)
+    run = make_closed_loop_batch(pipe, solver_full.model, T)
+
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (B, 6),
+                                  dtype=jnp.float32)
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6)).astype(jnp.float32)
+    res = run(dp, cp, q0s, xi0s)
+    _ = np.asarray(res.us[:, -1, :])  # compile + completion barrier
+    t0 = time.perf_counter()
+    res = run(dp, cp, q0s, xi0s)
+    _ = np.asarray(res.us[:, -1, :])
+    wall = time.perf_counter() - t0
+    err0 = jnp.linalg.norm(jax.vmap(
+        lambda q: se3.log(se3.inverse(cp.q_ref[0]) @ q))(res.qs[:, 0]),
+        axis=-1)
+    errT = jnp.linalg.norm(jax.vmap(
+        lambda q: se3.log(se3.inverse(cp.q_ref[T]) @ q))(res.qs[:, -1]),
+        axis=-1)
+    print(json.dumps(dict(
+        task="mpc_batch", batch=B, horizon=H, steps=T,
+        wall_s=round(wall, 3),
+        mpc_solves_per_s=round(B * T / wall, 1),
+        tracking_err_mean_initial=float(jnp.mean(err0)),
+        tracking_err_mean_final=float(jnp.mean(errT)),
+        shrink_ratio=float(jnp.mean(errT) / jnp.mean(err0)),
+    )))
+
+
 TASKS = {
     "cartpole": run_cartpole,
     "so3_tracking": lambda a: run_benchmark_task("so3_tracking", "so3_tracking", False, a),
@@ -670,6 +728,7 @@ TASKS = {
     "cost_landscape": run_cost_landscape,
     "mpc": run_mpc,
     "al_batch": run_al_batch,
+    "mpc_batch": run_mpc_batch,
     "benchmark_compare": run_benchmark_compare,
     "sweep": run_sweep_task,
 }
