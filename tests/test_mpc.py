@@ -132,3 +132,37 @@ def test_batched_closed_loop_matches_host_loop():
         us_warm = jnp.concatenate([out.us[:, 1:], out.us[:, -1:]], axis=1)
     np.testing.assert_allclose(np.asarray(res.qs[:, -1]), np.asarray(qs),
                                atol=1e-10)
+
+
+def test_batched_closed_loop_with_disturbance():
+    """Per-step twist disturbances: noisy loops stay bounded and differ
+    from the noiseless run; sigma=0 with a key reproduces noiseless."""
+    import jax
+
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.mpc import (
+        make_closed_loop_batch,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
+        PallasPipelineSolver,
+    )
+
+    data, solver_full, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    cp_full = params["cost"]
+    dp = params["dyn"]
+    H, T, B = 10, 5, 2
+    interp = jax.default_backend() != "tpu"
+    pipe = PallasPipelineSolver(N=H, iterations=3, dt=float(dp.dt),
+                                interpret=interp)
+    run = make_closed_loop_batch(pipe, solver_full.model, T)
+    q0s = jnp.broadcast_to(cp_full.q_ref[0], (B, 4, 4))
+    xi0s = jnp.broadcast_to(cp_full.xi_ref[0], (B, 6))
+
+    clean = run(dp, cp_full, q0s, xi0s)
+    zero = run(dp, cp_full, q0s, xi0s, noise_key=jax.random.PRNGKey(1),
+               noise_sigma=0.0)
+    np.testing.assert_allclose(np.asarray(zero.us), np.asarray(clean.us),
+                               atol=1e-12)
+    noisy = run(dp, cp_full, q0s, xi0s, noise_key=jax.random.PRNGKey(1),
+                noise_sigma=0.05)
+    assert bool(jnp.all(jnp.isfinite(noisy.us)))
+    assert float(jnp.max(jnp.abs(noisy.us - clean.us))) > 1e-4

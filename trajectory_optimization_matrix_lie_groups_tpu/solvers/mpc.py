@@ -106,7 +106,10 @@ def make_closed_loop_batch(pipe, model, T: int):
       T: closed-loop steps; the full reference needs >= T + H + 1 entries.
 
     Returns:
-      run(dp, cp_full, q0s, xi0s) -> BatchMPCResult.
+      run(dp, cp_full, q0s, xi0s, noise_key=None, noise_sigma=0.0) ->
+      BatchMPCResult.  With a key, every plant step adds i.i.d. twist
+      disturbances sigma*N(0,1) per instance (Monte-Carlo robustness
+      evaluation — the solver never sees the noise, only its effect).
     """
     H = pipe.N
 
@@ -117,24 +120,31 @@ def make_closed_loop_batch(pipe, model, T: int):
             Ad_ref=sl(cp.Ad_ref), xi_ref=sl(cp.xi_ref),
         )
 
-    def run(dp, cp_full, q0s, xi0s):
+    def run(dp, cp_full, q0s, xi0s, noise_key=None, noise_sigma=0.0):
         B = q0s.shape[0]
         nu = model.nu
         params = {"dyn": dp, "cost": cp_full}
+        if noise_key is None:
+            noise = jnp.zeros((T, B, 6), dtype=xi0s.dtype)
+        else:
+            noise = noise_sigma * jax.random.normal(
+                noise_key, (T, B, 6), dtype=xi0s.dtype)
 
-        def mpc_step(carry, t):
+        def mpc_step(carry, inp):
+            t, w = inp
             qs, xis, us_warm = carry
             cp_t = window(cp_full, t)
             out = pipe._solve(dp, cp_t, qs, xis, us_warm)
             u0 = out.us[:, 0]
             q_next, xi_next = model.step(params, qs, xis, u0, 0)
+            xi_next = xi_next + w
             us_next = jnp.concatenate([out.us[:, 1:], out.us[:, -1:]], axis=1)
             return (q_next, xi_next, us_next), (q_next, xi_next, u0,
                                                 out.J_opt)
 
         us0 = jnp.zeros((B, H, nu), dtype=xi0s.dtype)
         (_, _, _), (qs_t, xis_t, us_applied, J_pred) = lax.scan(
-            mpc_step, (q0s, xi0s, us0), jnp.arange(T))
+            mpc_step, (q0s, xi0s, us0), (jnp.arange(T), noise))
         # scan stacks along axis 0 (time); move batch first
         tb = lambda x: jnp.moveaxis(x, 0, 1)
         qs = jnp.concatenate([q0s[:, None], tb(qs_t)], axis=1)
