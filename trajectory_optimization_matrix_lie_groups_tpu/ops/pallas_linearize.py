@@ -36,6 +36,85 @@ def _cross(a, b):
     ])
 
 
+def stage_dynamics_eval(R, p, xi, u, Jl, Jil, Pu, mg, *, dt, gravity):
+    """Semi-implicit Euler step in lane layout (models/dynamics.py:196,287):
+    fq = normalize(q Exp(xi dt)); fxi = xi + dt Jinv (coad(xi) J xi
+    [+ m g R^T down] + Pu u).  Shared by the linearize, rollout, and fused
+    rollout+linearize kernels."""
+    Re, pe = pll.se3_exp(xi * dt)
+    fqR, fqp = pll.se3_compose(R, p, Re, pe)
+    fqR = pll.so3_normalize(fqR)
+    Jxi = pll.matvec(Jl, xi, 6)
+    w, v = xi[:3], xi[3:]
+    nu = u.shape[0]
+    wrench = jnp.concatenate(
+        [-_cross(w, Jxi[:3]) - _cross(v, Jxi[3:]), -_cross(w, Jxi[3:])],
+        axis=0) + pll.matvec(Pu, u, nu)
+    if gravity:
+        # down = (0, 0, -1): R^T down = -(third row of R)
+        g_lin = -mg[0][None, :] * R[2]
+        wrench = wrench + jnp.concatenate(
+            [jnp.zeros_like(g_lin), g_lin], axis=0)
+    fxi = xi + dt * pll.matvec(Jil, wrench, 6)
+    return fqR, fqp, fxi
+
+
+def stage_jacobian(R, xi, Jl, Jil, mg, *, dt, gravity, exact_grav):
+    """Lane-layout Fx (models/dynamics.py:234 free body, :1092 gravity) with
+    the reference's coad-swap quirk #1 (traopt_dynamics.py:819,832) and its
+    gravity-Jacobian quirk #2 (no m*g factor unless ``exact_grav``,
+    traopt_dynamics.py:1121-1134)."""
+    B = R.shape[-1]
+    dtp = R.dtype
+    w, v = xi[:3], xi[3:]
+    tau = xi * dt
+    ReN, peN = pll.se3_exp(-tau)
+    J_q_q = pll.se3_Ad(ReN, peN)
+    J_q_xi = pll.se3_right_jacobian(tau) * dt
+    # coad(eta) = ad(eta)^T = [[-hat(ew), -hat(ev)], [0, -hat(ew)]],
+    # applied to the [v, w]-SWAPPED twist (reference quirk #1)
+    coad_sw = pll.blk(-pll.hat(v), -pll.hat(w),
+                      jnp.zeros((3, 3, B), dtp), -pll.hat(v))
+    Ibw = pll.matvec3(Jl[0:3, 0:3, :], w)
+    m = Jl[4, 4, :]
+    Gw = pll.hat(Ibw)
+    Gv = m[None, None, :] * pll.hat(v)
+    G = pll.blk(Gw, Gv, Gv, jnp.zeros((3, 3, B), dtp))
+    H = pll.matmul(Jil, pll.matmul(coad_sw, Jl, 6) + G, 6)
+    eye6 = pll.blk(pll._eye3(dtp, B), jnp.zeros((3, 3, B), dtp),
+                   jnp.zeros((3, 3, B), dtp), pll._eye3(dtp, B))
+    if gravity:
+        grow = -R[2] if not exact_grav else -(mg[0][None, :] * R[2])
+        Z3 = jnp.zeros((3, 3, B), dtp)
+        J_xi_q = pll.matmul(Jil, pll.blk(Z3, Z3, pll.hat(grow), Z3), 6) * dt
+    else:
+        J_xi_q = jnp.zeros((6, 6, B), dtp)
+    return pll.blk(J_q_q, J_q_xi, J_xi_q, eye6 + H * dt)
+
+
+def stage_cost_quad(R, p, xi, RbiR, Rbip, Adb, xib, W1, W2):
+    """Lane-layout GN tracking quadratization (models/costs.py:103):
+    e = Log(q q_ref^-1), J_e_x = Jr^-1(e) Ad_ref; returns (lx (12,B),
+    lxx (12,12,B), l (B,)).  Also the terminal quadratization with (P1, P2)
+    weights (the Riccati kernel's carry init)."""
+    B = R.shape[-1]
+    dtp = R.dtype
+    Reb, peb = pll.se3_compose(R, p, RbiR, Rbip)
+    e = pll.se3_log(Reb, peb)
+    ev = xi - xib
+    Jex = pll.matmul(pll.se3_right_jacobian_inv(e), Adb, 6)
+    JT2 = 2.0 * pll.transpose(Jex)
+    W1e = pll.matvec(W1, e, 6)
+    W2ev = pll.matvec(W2, ev, 6)
+    lx = jnp.concatenate([pll.matvec(JT2, W1e, 6), 2.0 * W2ev], axis=0)
+    H_e = pll.matmul(pll.matmul(JT2, W1, 6), Jex, 6)
+    lxx = pll.blk(H_e, jnp.zeros((6, 6, B), dtp),
+                  jnp.zeros((6, 6, B), dtp), 2.0 * W2)
+    l_val = (sum(e[i] * W1e[i] for i in range(6))
+             + sum(ev[i] * W2ev[i] for i in range(6)))
+    return lx, lxx, l_val
+
+
 def _linearize_kernel(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
                       u_ref, RbiR_ref, Rbip_ref, Adb_ref, xib_ref,
                       Jl_ref, Jil_ref, W1_ref, W2_ref, Pu_ref, mg_ref,
@@ -53,27 +132,10 @@ def _linearize_kernel(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
         p = qp_ref[t]
         xi = xi_ref[t]
         u = u_ref[t]
-        B = R.shape[-1]
-        dtp = R.dtype
 
-        # dynamics eval
-        Re, pe = pll.se3_exp(xi * dt)
-        fqR, fqp = pll.se3_compose(R, p, Re, pe)
-        fqR = pll.so3_normalize(fqR)
-        Jxi = pll.matvec(Jl_ref[:], xi, 6)
-        w = xi[:3]
-        v = xi[3:]
-        wr_top = -_cross(w, Jxi[:3]) - _cross(v, Jxi[3:])
-        wr_bot = -_cross(w, Jxi[3:])
-        nu = u.shape[0]
-        wrench = jnp.concatenate([wr_top, wr_bot], axis=0) \
-            + pll.matvec(Pu_ref[:], u, nu)
-        if gravity:
-            # down = (0, 0, -1): R^T down = -(third row of R)
-            g_lin = -mg_ref[0][None, :] * R[2]
-            wrench = wrench + jnp.concatenate(
-                [jnp.zeros_like(g_lin), g_lin], axis=0)
-        fxi = xi + dt * pll.matvec(Jil_ref[:], wrench, 6)
+        fqR, fqp, fxi = stage_dynamics_eval(
+            R, p, xi, u, Jl_ref[:], Jil_ref[:], Pu_ref[:], mg_ref,
+            dt=dt, gravity=gravity)
 
         # defect d = [Log(q_{i+1}^-1 fq); fxi - xi_{i+1}]
         Rni, pni = pll.se3_inverse(qRn_ref[t], qpn_ref[t])
@@ -81,52 +143,11 @@ def _linearize_kernel(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
         d_pose = pll.se3_log(Rd, pd)
         d = jnp.concatenate([d_pose, fxi - xin_ref[t]], axis=0)
 
-        # dynamics Jacobian
-        tau = xi * dt
-        ReN, peN = pll.se3_exp(-tau)
-        J_q_q = pll.se3_Ad(ReN, peN)
-        J_q_xi = pll.se3_right_jacobian(tau) * dt
-        # H with the reference coad-swap quirk: coad of [v, w]-swapped twist
-        # coad(eta) = ad(eta)^T = [[-hat(ew), -hat(ev)], [0, -hat(ew)]],
-        # applied to the [v, w]-SWAPPED twist (reference quirk #1)
-        eta_w = v
-        eta_v = w
-        coad_sw = pll.blk(-pll.hat(eta_w), -pll.hat(eta_v),
-                          jnp.zeros((3, 3, B), dtp), -pll.hat(eta_w))
-        Ibw = pll.matvec3(Jl_ref[0:3, 0:3, :], w)
-        m = Jl_ref[4, 4, :]
-        Gw = pll.hat(Ibw)
-        Gv = m[None, None, :] * pll.hat(v)
-        G = pll.blk(Gw, Gv, Gv, jnp.zeros((3, 3, B), dtp))
-        H = pll.matmul(Jil_ref[:], pll.matmul(coad_sw, Jl_ref[:], 6) + G, 6)
-        eye6 = pll.blk(pll._eye3(dtp, B), jnp.zeros((3, 3, B), dtp),
-                       jnp.zeros((3, 3, B), dtp), pll._eye3(dtp, B))
-        if gravity:
-            grow = -R[2] if not exact_grav else -(mg_ref[0][None, :] * R[2])
-            Z3 = jnp.zeros((3, 3, B), dtp)
-            J_xi_q = pll.matmul(Jil_ref[:],
-                                pll.blk(Z3, Z3, pll.hat(grow), Z3), 6) * dt
-        else:
-            J_xi_q = jnp.zeros((6, 6, B), dtp)
-        Fx = pll.blk(J_q_q, J_q_xi, J_xi_q, eye6 + H * dt)
-
-        # cost quadratization
-        Reb, peb = pll.se3_compose(R, p, RbiR_ref[t], Rbip_ref[t])
-        e = pll.se3_log(Reb, peb)
-        ev = xi - xib_ref[t]
-        Jex = pll.matmul(pll.se3_right_jacobian_inv(e), Adb_ref[t], 6)
-        JT2 = 2.0 * pll.transpose(Jex)
-        W1 = W1_ref[:]
-        W2 = W2_ref[:]
-        W1e = pll.matvec(W1, e, 6)
-        lx_pose = pll.matvec(JT2, W1e, 6)
-        lx_vel = 2.0 * pll.matvec(W2, ev, 6)
-        lx = jnp.concatenate([lx_pose, lx_vel], axis=0)
-        H_e = pll.matmul(pll.matmul(JT2, W1, 6), Jex, 6)
-        lxx = pll.blk(H_e, jnp.zeros((6, 6, B), dtp),
-                      jnp.zeros((6, 6, B), dtp), 2.0 * W2)
-        l_val = sum(e[i] * W1e[i] for i in range(6)) \
-            + sum(ev[i] * pll.matvec(W2, ev, 6)[i] for i in range(6))
+        Fx = stage_jacobian(R, xi, Jl_ref[:], Jil_ref[:], mg_ref,
+                            dt=dt, gravity=gravity, exact_grav=exact_grav)
+        lx, lxx, l_val = stage_cost_quad(
+            R, p, xi, RbiR_ref[t], Rbip_ref[t], Adb_ref[t], xib_ref[t],
+            W1_ref[:], W2_ref[:])
 
         fqR_ref[t] = fqR
         fqp_ref[t] = fqp

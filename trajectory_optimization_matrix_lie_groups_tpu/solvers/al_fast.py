@@ -74,7 +74,11 @@ class ALFastSolver:
         iteration, traopt_controller.py:3237)."""
         al = params["cost"]
         if q_ref is None:
-            q_ref, xi_ref = al.cost.q_ref, al.cost.xi_ref
+            q_ref = al.cost.q_ref
+        if xi_ref is None:
+            xi_ref = al.cost.xi_ref
+        if n_al_iters < 1:
+            raise ValueError("n_al_iters must be >= 1")
         st = None
         constr_eval = None
         converged = False

@@ -24,6 +24,15 @@ from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import (
 )
 
 
+def _window(cp: costs.TrackingCostParams, t, H):
+    """Slice the (H+1)-entry reference window starting at plant step t."""
+    sl = lambda a: lax.dynamic_slice_in_dim(a, t, H + 1, axis=0)
+    return cp._replace(
+        q_ref=sl(cp.q_ref), q_ref_inv=sl(cp.q_ref_inv),
+        Ad_ref=sl(cp.Ad_ref), xi_ref=sl(cp.xi_ref),
+    )
+
+
 class MPCResult(NamedTuple):
     qs: jnp.ndarray      # (T+1, m, m) closed-loop plant trajectory
     xis: jnp.ndarray     # (T+1, d)
@@ -55,20 +64,13 @@ def make_closed_loop(solver: LieILQR, T: int):
     model = solver.model
     g = model.group
 
-    def window(cp: costs.TrackingCostParams, t):
-        sl = lambda a: lax.dynamic_slice_in_dim(a, t, H + 1, axis=0)
-        return cp._replace(
-            q_ref=sl(cp.q_ref), q_ref_inv=sl(cp.q_ref_inv),
-            Ad_ref=sl(cp.Ad_ref), xi_ref=sl(cp.xi_ref),
-        )
-
     def run(params_full, q0, xi0):
         cp_full = params_full["cost"]
         nu = model.nu
 
         def mpc_step(carry, t):
             q, xi, us_warm = carry
-            cp_t = window(cp_full, t)
+            cp_t = _window(cp_full, t, H)
             params_t = {**params_full, "cost": cp_t}
             state = solver._init_state_ms(q, xi, us_warm, cp_t.q_ref, cp_t.xi_ref)
             state = solver._solve_loop(params_t, state)
@@ -113,13 +115,6 @@ def make_closed_loop_batch(pipe, model, T: int):
     """
     H = pipe.N
 
-    def window(cp: costs.TrackingCostParams, t):
-        sl = lambda a: lax.dynamic_slice_in_dim(a, t, H + 1, axis=0)
-        return cp._replace(
-            q_ref=sl(cp.q_ref), q_ref_inv=sl(cp.q_ref_inv),
-            Ad_ref=sl(cp.Ad_ref), xi_ref=sl(cp.xi_ref),
-        )
-
     def run(dp, cp_full, q0s, xi0s, noise_key=None, noise_sigma=0.0):
         B = q0s.shape[0]
         nu = model.nu
@@ -133,7 +128,7 @@ def make_closed_loop_batch(pipe, model, T: int):
         def mpc_step(carry, inp):
             t, w = inp
             qs, xis, us_warm = carry
-            cp_t = window(cp_full, t)
+            cp_t = _window(cp_full, t, H)
             out = pipe._solve(dp, cp_t, qs, xis, us_warm)
             u0 = out.us[:, 0]
             q_next, xi_next = model.step(params, qs, xis, u0, 0)

@@ -32,6 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 from trajectory_optimization_matrix_lie_groups_tpu.ops import pallas_lie as pll
 from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_linearize import (
     _linearize_kernel,
+    stage_cost_quad,
+    stage_dynamics_eval,
+    stage_jacobian,
 )
 
 NX, NU = 12, 6
@@ -73,25 +76,12 @@ def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
     # milliseconds per iteration as unfused XLA glue).
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        dtp = Fx_ref.dtype
-        B = qpN_ref.shape[-1]
-        Re, pe = pll.se3_compose(qRN_ref[:], qpN_ref[:],
-                                 RbiRN_ref[:], RbipN_ref[:])
-        e = pll.se3_log(Re, pe)
-        ev = xiN_ref[:] - xibN_ref[:]
-        W1N = W1N_ref[:]
-        W2N = W2N_ref[:]
-        Jex = pll.matmul(pll.se3_right_jacobian_inv(e), AdbN_ref[:], 6)
-        JT2 = 2.0 * pll.transpose(Jex)
-        W1e = pll.matvec(W1N, e, 6)
-        W2ev = pll.matvec(W2N, ev, 6)
-        Vx_s[:] = jnp.concatenate([pll.matvec(JT2, W1e, 6), 2.0 * W2ev],
-                                  axis=0)
-        H_e = pll.matmul(pll.matmul(JT2, W1N, 6), Jex, 6)
-        z66 = jnp.zeros((6, 6, B), dtp)
-        Vxx_s[:] = pll.blk(H_e, z66, z66, 2.0 * W2N)
-        lN_ref[0] = (sum(e[i] * W1e[i] for i in range(6))
-                     + sum(ev[i] * W2ev[i] for i in range(6)))[None]
+        lxN, lxxN, lN = stage_cost_quad(
+            qRN_ref[:], qpN_ref[:], xiN_ref[:], RbiRN_ref[:], RbipN_ref[:],
+            AdbN_ref[:], xibN_ref[:], W1N_ref[:], W2N_ref[:])
+        Vx_s[:] = lxN
+        Vxx_s[:] = lxxN
+        lN_ref[0] = lN[None]
 
     # Block structure exploited throughout (~35% fewer lane multiplies than
     # generic 12-d products): Fu = [0; Jinv Pu dt] (top half zero), and
@@ -213,20 +203,9 @@ def _rollout_kernel_lane(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
         u_new = u_ref[t] + k_ref[t] + sum(
             K[:, j, :] * xs_err[j:j + 1, :] for j in range(NX))
 
-        ReE, peE = pll.se3_exp(xi_new * dt)
-        fqR_n, fqp_n = pll.se3_compose(R_new, p_new, ReE, peE)
-        fqR_n = pll.so3_normalize(fqR_n)
-        Jxi = pll.matvec(Jl_ref[:], xi_new, 6)
-        w, v = xi_new[:3], xi_new[3:]
-        nu = u_new.shape[0]
-        wrench = jnp.concatenate(
-            [-_cross(w, Jxi[:3]) - _cross(v, Jxi[3:]), -_cross(w, Jxi[3:])],
-            axis=0) + pll.matvec(Pu_ref[:], u_new, nu)
-        if gravity:
-            g_lin = -mg_ref[0][None, :] * R_new[2]
-            wrench = wrench + jnp.concatenate(
-                [jnp.zeros_like(g_lin), g_lin], axis=0)
-        fxi_new = xi_new + dt * pll.matvec(Jil_ref[:], wrench, 6)
+        fqR_n, fqp_n, fxi_new = stage_dynamics_eval(
+            R_new, p_new, xi_new, u_new, Jl_ref[:], Jil_ref[:], Pu_ref[:],
+            mg_ref, dt=dt, gravity=gravity)
 
         d = d_ref[t]
         edR, edp = pll.se3_exp(d[:6])
@@ -274,9 +253,7 @@ def _rollout_linearize_kernel(
 
     R_new, p_new, xi_new = R_s[:], p_s[:], xi_s[:]
     for t in range(chunk):
-        dtp = R_new.dtype
-        B = R_new.shape[-1]
-        # ---- rollout step t (identical math to _rollout_kernel_lane) ----
+        # ---- rollout step t (same math as _rollout_kernel_lane) ---------
         Ri_inv, pi_inv = pll.se3_inverse(qR_ref[t], qp_ref[t])
         Re, pe = pll.se3_compose(Ri_inv, pi_inv, R_new, p_new)
         xs_err = jnp.concatenate(
@@ -284,20 +261,9 @@ def _rollout_linearize_kernel(
         K = K_ref[t]
         u_new = u_ref[t] + k_ref[t] + sum(
             K[:, j, :] * xs_err[j:j + 1, :] for j in range(NX))
-        ReE, peE = pll.se3_exp(xi_new * dt)
-        fqR_n, fqp_n = pll.se3_compose(R_new, p_new, ReE, peE)
-        fqR_n = pll.so3_normalize(fqR_n)
-        Jxi = pll.matvec(Jl_ref[:], xi_new, 6)
-        w, v = xi_new[:3], xi_new[3:]
-        nu = u_new.shape[0]
-        wrench = jnp.concatenate(
-            [-_cross(w, Jxi[:3]) - _cross(v, Jxi[3:]), -_cross(w, Jxi[3:])],
-            axis=0) + pll.matvec(Pu_ref[:], u_new, nu)
-        if gravity:
-            g_lin = -mg_ref[0][None, :] * R_new[2]
-            wrench = wrench + jnp.concatenate(
-                [jnp.zeros_like(g_lin), g_lin], axis=0)
-        fxi_new = xi_new + dt * pll.matvec(Jil_ref[:], wrench, 6)
+        fqR_n, fqp_n, fxi_new = stage_dynamics_eval(
+            R_new, p_new, xi_new, u_new, Jl_ref[:], Jil_ref[:], Pu_ref[:],
+            mg_ref, dt=dt, gravity=gravity)
         d = d_ref[t]
         edR, edp = pll.se3_exp(d[:6])
         fiR, fip = pll.se3_inverse(fqR_ref[t], fqp_ref[t])
@@ -313,46 +279,11 @@ def _rollout_linearize_kernel(
         Rni, pni = pll.se3_inverse(R_nn, p_nn)
         Rd, pd = pll.se3_compose(Rni, pni, fqR_n, fqp_n)
         nd = jnp.concatenate([pll.se3_log(Rd, pd), fxi_new - xi_nn], axis=0)
-
-        tau = xi_new * dt
-        ReN, peN = pll.se3_exp(-tau)
-        J_q_q = pll.se3_Ad(ReN, peN)
-        J_q_xi = pll.se3_right_jacobian(tau) * dt
-        coad_sw = pll.blk(-pll.hat(v), -pll.hat(w),
-                          jnp.zeros((3, 3, B), dtp), -pll.hat(v))
-        Ibw = pll.matvec3(Jl_ref[0:3, 0:3, :], w)
-        m = Jl_ref[4, 4, :]
-        Gw = pll.hat(Ibw)
-        Gv = m[None, None, :] * pll.hat(v)
-        G = pll.blk(Gw, Gv, Gv, jnp.zeros((3, 3, B), dtp))
-        H = pll.matmul(Jil_ref[:], pll.matmul(coad_sw, Jl_ref[:], 6) + G, 6)
-        eye6 = pll.blk(pll._eye3(dtp, B), jnp.zeros((3, 3, B), dtp),
-                       jnp.zeros((3, 3, B), dtp), pll._eye3(dtp, B))
-        if gravity:
-            grow = -R_new[2] if not exact_grav \
-                else -(mg_ref[0][None, :] * R_new[2])
-            Z3 = jnp.zeros((3, 3, B), dtp)
-            J_xi_q = pll.matmul(Jil_ref[:],
-                                pll.blk(Z3, Z3, pll.hat(grow), Z3), 6) * dt
-        else:
-            J_xi_q = jnp.zeros((6, 6, B), dtp)
-        Fx = pll.blk(J_q_q, J_q_xi, J_xi_q, eye6 + H * dt)
-
-        Reb, peb = pll.se3_compose(R_new, p_new, RbiR_ref[t], Rbip_ref[t])
-        e = pll.se3_log(Reb, peb)
-        ev = xi_new - xib_ref[t]
-        Jex = pll.matmul(pll.se3_right_jacobian_inv(e), Adb_ref[t], 6)
-        JT2 = 2.0 * pll.transpose(Jex)
-        W1 = W1_ref[:]
-        W2 = W2_ref[:]
-        W1e = pll.matvec(W1, e, 6)
-        W2ev = pll.matvec(W2, ev, 6)
-        nlx = jnp.concatenate([pll.matvec(JT2, W1e, 6), 2.0 * W2ev], axis=0)
-        H_e = pll.matmul(pll.matmul(JT2, W1, 6), Jex, 6)
-        nlxx = pll.blk(H_e, jnp.zeros((6, 6, B), dtp),
-                       jnp.zeros((6, 6, B), dtp), 2.0 * W2)
-        nl = (sum(e[i] * W1e[i] for i in range(6))
-              + sum(ev[i] * W2ev[i] for i in range(6)))
+        Fx = stage_jacobian(R_new, xi_new, Jl_ref[:], Jil_ref[:], mg_ref,
+                            dt=dt, gravity=gravity, exact_grav=exact_grav)
+        nlx, nlxx, nl = stage_cost_quad(
+            R_new, p_new, xi_new, RbiR_ref[t], Rbip_ref[t], Adb_ref[t],
+            xib_ref[t], W1_ref[:], W2_ref[:])
 
         oR_ref[t] = R_nn
         op_ref[t] = p_nn
@@ -381,7 +312,9 @@ class PipelineState(NamedTuple):
 
 
 class PallasPipelineSolver:
-    """End-to-end lane-layout 3-kernel MS-iLQR."""
+    """End-to-end lane-layout MS-iLQR: 2 kernels/iteration by default
+    (Riccati backward; rollout fused with the next linearization), or
+    the 3-kernel linearize/backward/rollout layout with fused=False."""
 
     def __init__(self, N: int, iterations: int, dt: float,
                  interpret: bool = False, batch_tile: int = None,
@@ -463,7 +396,7 @@ class PallasPipelineSolver:
             jax.ShapeDtypeStruct((N, 12, 12, B), dtp),
             jax.ShapeDtypeStruct((N, 1, B), dtp),
         )
-        out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
+        out_specs = tuple(spec(s) for s in out_shapes)
         kernel = functools.partial(_linearize_kernel, dt=self.dt,
                                    gravity=self.gravity,
                                    exact_grav=self.exact_grav, chunk=ck)
@@ -509,8 +442,7 @@ class PallasPipelineSolver:
             jax.ShapeDtypeStruct((N, nu, B), dtp),
             jax.ShapeDtypeStruct((1, 1, B), dtp),
         )
-        out_specs = tuple(spec(jnp.zeros(s.shape, dtp))
-                          for s in out_shapes[:3]) + \
+        out_specs = tuple(spec(s) for s in out_shapes[:3]) + \
             (pl.BlockSpec((1, 1, bt), lambda b, i: (0, 0, b)),)
         k, K, gvec, lN = pl.pallas_call(
             functools.partial(_riccati_kernel_const, nu=nu, chunk=ck,
@@ -553,7 +485,7 @@ class PallasPipelineSolver:
             jax.ShapeDtypeStruct((N, 6, B), dtp),
             jax.ShapeDtypeStruct((N, nu, B), dtp),
         )
-        out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
+        out_specs = tuple(spec(s) for s in out_shapes)
         kernel = functools.partial(_rollout_kernel_lane, dt=self.dt,
                                    gravity=self.gravity, chunk=ck)
         oR, op, oxi, ou = pl.pallas_call(
@@ -610,7 +542,7 @@ class PallasPipelineSolver:
             jax.ShapeDtypeStruct((N, 12, 12, B), dtp),  # nlxx
             jax.ShapeDtypeStruct((N, 1, B), dtp),      # nl
         )
-        out_specs = tuple(spec(jnp.zeros(s.shape, dtp)) for s in out_shapes)
+        out_specs = tuple(spec(s) for s in out_shapes)
         kernel = functools.partial(_rollout_linearize_kernel, dt=self.dt,
                                    gravity=self.gravity,
                                    exact_grav=self.exact_grav, chunk=ck)

@@ -683,16 +683,25 @@ def run_mpc_batch(args):
                                 batch_tile=256 if on_tpu else None)
     run = make_closed_loop_batch(pipe, solver_full.model, T)
 
-    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (B, 6),
-                                  dtype=jnp.float32)
-    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    # distinct pre-staged start batches per rep (identical repeated requests
+    # can be served from the remote execution cache), best-of-reps timing
+    def mk(seed):
+        dq = 0.05 * jax.random.normal(jax.random.PRNGKey(seed), (B, 6),
+                                      dtype=jnp.float32)
+        return SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+
+    reps = 3
+    q0_batches = [jax.device_put(mk(s)) for s in range(reps + 1)]
+    jax.block_until_ready(q0_batches)
     xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6)).astype(jnp.float32)
-    res = run(dp, cp, q0s, xi0s)
+    res = run(dp, cp, q0_batches[0], xi0s)
     _ = np.asarray(res.us[:, -1, :])  # compile + completion barrier
-    t0 = time.perf_counter()
-    res = run(dp, cp, q0s, xi0s)
-    _ = np.asarray(res.us[:, -1, :])
-    wall = time.perf_counter() - t0
+    wall = np.inf
+    for r in range(1, reps + 1):
+        t0 = time.perf_counter()
+        res = run(dp, cp, q0_batches[r], xi0s)
+        _ = np.asarray(res.us[:, -1, :])
+        wall = min(wall, time.perf_counter() - t0)
     err0 = jnp.linalg.norm(jax.vmap(
         lambda q: se3.log(se3.inverse(cp.q_ref[0]) @ q))(res.qs[:, 0]),
         axis=-1)
