@@ -442,11 +442,37 @@ def run_dynamics_sim(args):
     pose_div = jnp.linalg.norm(
         se3.log(se3.inverse(qs_es) @ qs_exact[1:]), axis=-1)
     vel_div = jnp.linalg.norm(xs_es[:, 6:] - xis_exact[1:], axis=-1)
+
+    # open-loop 3-D pendulum swing (ref main_pendulum3d_dynamics.py:7-35:
+    # J=diag(.5,.7,.9), m=1, l=0.5, dt=0.01, 10-degree initial tilt, u=0)
+    from trajectory_optimization_matrix_lie_groups_tpu.models import dynamics
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SO3
+
+    pp = dynamics.pendulum3d_params(jnp.diag(jnp.array([0.5, 0.7, 0.9])),
+                                    1.0, 0.5, 0.01)
+    pend = dynamics.pendulum3d_dynamics()
+    q0p = SO3.exp(jnp.array([jnp.deg2rad(10.0), 0.0, 0.0]))
+
+    def pstep(carry, i):
+        q, xi = carry
+        q, xi = pend.step(pp, q, xi, jnp.zeros(3), i)
+        return (q, xi), jnp.linalg.norm(SO3.log(q))
+
+    (_, _), tilt = jax.lax.scan(pstep, (q0p, jnp.zeros(3)), jnp.arange(320))
+    # released from rest at 10 deg it swings through the hanging equilibrium:
+    # tilt dips toward 0 and stays bounded near the release amplitude
+    # (slight Euler energy drift allowed).
+    t0 = float(tilt[0])
     print(json.dumps(dict(
         task="dynamics_sim", N=N,
         pose_divergence_final=float(pose_div[-1]),
         pose_divergence_max=float(pose_div.max()),
         vel_divergence_max=float(vel_div.max()),
+        pendulum_tilt_initial=t0,
+        pendulum_tilt_min=float(jnp.min(tilt)),
+        pendulum_tilt_max=float(jnp.max(tilt)),
+        pendulum_swings=bool((jnp.min(tilt) < 0.25 * t0)
+                             & (jnp.max(tilt) < 1.5 * t0)),
     )))
 
 
