@@ -111,3 +111,49 @@ def test_native_drone_gravity_matches_jax_engine():
     assert us.shape == (B, H, 4)
     np.testing.assert_allclose(us, np.asarray(ref.us), atol=1e-8)
     np.testing.assert_allclose(J, np.asarray(ref.J_opt), rtol=1e-10)
+
+
+@pytest.mark.parametrize("name,pendulum", [("so3_tracking", False),
+                                           ("pendulum_swingup", True)])
+def test_native_so3_matches_jax_engine(name, pendulum):
+    """SO(3) families (free attitude, 3-D pendulum) vs FastBatchSolver."""
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import (
+        FastBatchSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SO3
+    import jax
+
+    H, ITERS, B = 30, 6, 2
+    data, solver, params, x0, us0, _ = build_benchmark(name, True)
+    prob = data["prob"]
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    params = {**params, "cost": cp._replace(
+        q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+        Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))}
+    cp = params["cost"]
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(3), (B, 3))
+    q0s = SO3.normalize(cp.q_ref[0][None] @ SO3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 3))
+    fast = FastBatchSolver(solver.model, N=H, iterations=ITERS,
+                           use_pallas=False)
+    ref = fast.solve(params, q0s, xi0s, jnp.zeros((B, H, 3)),
+                     cp.q_ref, cp.xi_ref)
+
+    kw = {}
+    if pendulum:
+        kw = dict(pendulum=True, m=float(prob["m"]),
+                  length=float(prob["length"]), g=9.8)
+    s = native.NativeSO3Solver(prob["J"], prob["dt"], prob["Q"], prob["R"],
+                               prob["P"], np.asarray(cp.q_ref),
+                               np.asarray(cp.xi_ref), iterations=ITERS, **kw)
+    us, J, g = s.solve_batch(np.asarray(q0s), np.asarray(xi0s))
+    assert us.shape == (B, H, 3)
+    np.testing.assert_allclose(us, np.asarray(ref.us), atol=1e-8)
+    np.testing.assert_allclose(J, np.asarray(ref.J_opt), rtol=1e-10)
+
+    us1, J1, g1 = s.solve(np.asarray(q0s[0]), np.asarray(xi0s[0]))
+    np.testing.assert_allclose(us1, us[0], atol=1e-12)

@@ -1,11 +1,12 @@
-"""Native (C++) serial runtime: Lie core + SE(3) MS-iLQR executor.
+"""Native (C++) serial runtime: Lie core + SO(3)/SE(3) MS-iLQR executors.
 
 The reference leans on the manif C++ library for its Lie math
 (`traoptlibrary/traopt_dynamics.py:11`) and runs its solvers as Python loops
 over those bindings; this package provides the equivalent native layer
 first-party: `src/lie.hpp` (closed-form SO(3)/SE(3) ops) and `src/ilqr.cpp`
-(the whole MS-iLQR hot loop in C++), exposed through ctypes (no pybind11
-dependency).
+(the whole MS-iLQR hot loop in C++, one group-templated solver covering the
+SE(3) free-body/gravity/drone and SO(3) free-attitude/pendulum families),
+exposed through ctypes (no pybind11 dependency).
 
 Uses: (a) implementation-independent cross-check of the JAX/Pallas engines
 (tests/test_native.py), (b) deployable host/embedded MPC runtime where no
@@ -63,6 +64,16 @@ def _load():
     lib.traopt_rb_ms_ilqr_solve_batch.argtypes = [
         dp, ctypes.c_double, ctypes.c_double, dp, ctypes.c_int, dp, dp, dp,
         dp, dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp]
+    lib.traopt_so3_ms_ilqr_solve.restype = ctypes.c_int
+    lib.traopt_so3_ms_ilqr_solve.argtypes = [
+        dp, ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int, dp, dp, dp, dp, dp, ctypes.c_int,
+        ctypes.c_int, dp, dp, dp, dp, dp]
+    lib.traopt_so3_ms_ilqr_solve_batch.restype = ctypes.c_int
+    lib.traopt_so3_ms_ilqr_solve_batch.argtypes = [
+        dp, ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int, dp, dp, dp, dp, dp, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp]
     return lib
 
 
@@ -141,4 +152,76 @@ class NativeSE3Solver:
             _ptr(q0s), _ptr(_c(xi0s)), _ptr(us), _ptr(J_out), _ptr(g_out))
         if rc:
             raise RuntimeError(f"native batch solve failed (rc={rc})")
+        return us, J_out, g_out
+
+
+class NativeSO3Solver:
+    """Serial C++ MS-iLQR (fixed budget, mu = 0) on the SO(3) attitude
+    families: free attitude body (default) and the pivot-actuated 3-D
+    pendulum (``pendulum=True`` with mass/rod-length/gravity).
+
+    Same iterate sequence as `solvers.batched.FastBatchSolver` at f64 with
+    the SO(3) models; ``term_quirk`` replicates the reference SO(3) cost
+    class's terminal Q/P inconsistency (see `models/costs.tracking_cost`),
+    which the parity builders enable for all SO(3)-family problems.
+    """
+
+    def __init__(self, J, dt, Q, R, P, q_ref, xi_ref, iterations: int,
+                 pendulum: bool = False, m: float = 0.0, length: float = 0.0,
+                 g: float = 9.8, term_quirk: bool = True):
+        if LIB is None:
+            raise RuntimeError("native library unavailable (no g++?)")
+        self.J = _c(J)
+        self.dt = float(dt)
+        self.Q = _c(Q)
+        self.R = _c(R)
+        self.P = _c(P)
+        self.q_ref = _c(q_ref)
+        self.xi_ref = _c(xi_ref).reshape(-1, 3)
+        self.N = self.q_ref.shape[0] - 1
+        self.iterations = iterations
+        self.pendulum = bool(pendulum)
+        self.m = float(m)
+        self.length = float(length)
+        self.g = float(g)
+        self.term_quirk = bool(term_quirk)
+        if self.J.shape != (3, 3):
+            raise ValueError("J must be (3,3)")
+        if self.R.shape != (3, 3):
+            raise ValueError("R must be (3,3)")
+        if self.q_ref.shape[1:] != (3, 3):
+            raise ValueError("q_ref must be (N+1,3,3)")
+
+    def solve(self, q0, xi0, us0=None):
+        """One problem: returns (us, J, grad_norm)."""
+        us = (_c(us0).copy() if us0 is not None
+              else np.zeros((self.N, 3)))
+        J_out = np.zeros(1)
+        g_out = np.zeros(1)
+        rc = LIB.traopt_so3_ms_ilqr_solve(
+            _ptr(self.J), self.dt, int(self.pendulum), self.m, self.length,
+            self.g, int(self.term_quirk),
+            _ptr(self.Q), _ptr(self.R), _ptr(self.P),
+            _ptr(self.q_ref), _ptr(self.xi_ref), self.N, self.iterations,
+            _ptr(_c(q0)), _ptr(_c(xi0)), _ptr(us), _ptr(J_out), _ptr(g_out))
+        if rc:
+            raise RuntimeError(f"native SO3 solve failed (rc={rc})")
+        return us, float(J_out[0]), float(g_out[0])
+
+    def solve_batch(self, q0s, xi0s, us0=None):
+        """B independent problems: returns (us (B,N,3), J (B,), grad (B,))."""
+        q0s = _c(q0s)
+        B = q0s.shape[0]
+        us = (_c(us0).copy() if us0 is not None
+              else np.zeros((B, self.N, 3)))
+        J_out = np.zeros(B)
+        g_out = np.zeros(B)
+        rc = LIB.traopt_so3_ms_ilqr_solve_batch(
+            _ptr(self.J), self.dt, int(self.pendulum), self.m, self.length,
+            self.g, int(self.term_quirk),
+            _ptr(self.Q), _ptr(self.R), _ptr(self.P),
+            _ptr(self.q_ref), _ptr(self.xi_ref), self.N, self.iterations, B,
+            _ptr(q0s), _ptr(_c(xi0s)), _ptr(us), _ptr(J_out), _ptr(g_out))
+        if rc:
+            raise RuntimeError(f"native SO3 batch solve failed (rc={rc})")
         return us, J_out, g_out

@@ -1,4 +1,5 @@
-// Serial SE(3) multiple-shooting iLQR runtime (C++, double precision).
+// Serial multiple-shooting iLQR runtime (C++, double precision) on SO(3)
+// and SE(3).
 //
 // Native executor for the MPC/throughput configuration of the framework's
 // solvers (fixed iteration budget, mu = 0, alpha = 1 gap-closing rollout) —
@@ -14,8 +15,17 @@
 // drone (6x4 Pu projection) — semi-implicit Euler (traopt_dynamics.py:763,
 // 1049, 1373) with the reference's f_x coadjoint-swap quirk
 // (traopt_dynamics.py:819,832) and its gravity-Jacobian quirk (no m*g
-// factor in J_xi_q, traopt_dynamics.py:1121-1134); see models/dynamics.py.
-// Cost: left-difference Gauss-Newton tracking (traopt_cost.py:578-702).
+// factor in J_xi_q, traopt_dynamics.py:1121-1134); SO(3) free attitude
+// (traopt_dynamics.py:275-419) and the pivot-actuated 3-D pendulum
+// (traopt_dynamics.py:421-627, gravity torque hat(m g rho) R^T e3, input
+// moment hat(m rho) R^T u); see models/dynamics.py for the JAX twins.
+// Cost: left-difference Gauss-Newton tracking (traopt_cost.py:578-702 SE3,
+// :280-564 SO3 — including the SO(3) class's terminal Q/P inconsistency
+// behind `term_quirk`, traopt_cost.py:433-438 vs :526-531).
+//
+// The solver loop is a single template over a group-ops/model pair; the
+// SE(3) and SO(3) instantiations share every line of the Riccati backward
+// pass and the gap-closing rollout.
 #include <cstring>
 #include <vector>
 
@@ -24,16 +34,50 @@
 namespace traopt {
 namespace {
 
-constexpr int NX = 12;
-constexpr int NU = 6;  // max control dim; the model's nu may be smaller
+constexpr int NU_MAX = 6;
 
-struct Model {
+// ---- group-op shims --------------------------------------------------------
+
+struct SO3Pose {
+  double R[9];
+};
+
+struct SE3Ops {
+  using Pose = SE3;
+  static constexpr int D = 6;
+  static void compose(Pose* C, const Pose& A, const Pose& B) {
+    se3_compose(C, A, B);
+  }
+  static void inverse(Pose* I, const Pose& T) { se3_inverse(I, T); }
+  static void exp(Pose* T, const double* xi) { se3_exp(T, xi); }
+  static void log(double* xi, const Pose& T) { se3_log(xi, T); }
+  static void normalize(Pose* T) { se3_normalize(T); }
+};
+
+struct SO3Ops {
+  using Pose = SO3Pose;
+  static constexpr int D = 3;
+  static void compose(Pose* C, const Pose& A, const Pose& B) {
+    double R[9];
+    mat_mul(R, A.R, B.R, 3, 3, 3);
+    std::memcpy(C->R, R, sizeof(R));
+  }
+  static void inverse(Pose* I, const Pose& T) { mat_T(I->R, T.R, 3, 3); }
+  static void exp(Pose* T, const double* w) { so3_exp(T->R, w); }
+  static void log(double* w, const Pose& T) { so3_log(w, T.R); }
+  static void normalize(Pose* T) { so3_normalize(T->R); }
+};
+
+// ---- SE(3) model family (free body / gravity / drone) ----------------------
+
+struct ModelSE3 {
+  using Ops = SE3Ops;
   double J[36];
   double Jinv[36];
   double dt;
-  double Q1[36], Q2[36], R[NU * NU], P1[36], P2[36];
-  double Pu[6 * NU];  // (6, nu) input projection (identity for free body)
-  double mg;          // m * g (0 disables the gravity wrench + Fx block)
+  double Q1[36], Q2[36], R[NU_MAX * NU_MAX], P1[36], P2[36];
+  double Pu[6 * NU_MAX];  // (6, nu) input projection (identity for free body)
+  double mg;              // m * g (0 disables the gravity wrench + Fx block)
   bool gravity;
   int nu;
   std::vector<SE3> q_ref, q_ref_inv;
@@ -50,7 +94,7 @@ void body_down(const SE3& q, double* out) {
 
 // xi_next = xi + dt * Jinv (coad(xi) J xi + [0; m g R^T down] + Pu u)
 // (models/dynamics.py:196 free body, :287 gravity/drone)
-void twist_step(const Model& M, const SE3& q, const double* xi,
+void twist_step(const ModelSE3& M, const SE3& q, const double* xi,
                 const double* u, double* xi_next) {
   double Jxi[6], C[36], w[6];
   mat_vec(Jxi, M.J, xi, 6, 6);
@@ -69,7 +113,8 @@ void twist_step(const Model& M, const SE3& q, const double* xi,
   for (int i = 0; i < 6; ++i) xi_next[i] = xi[i] + M.dt * dxi[i];
 }
 
-void pose_step(const Model& M, const SE3& q, const double* xi, SE3* q_next) {
+void pose_step(const ModelSE3& M, const SE3& q, const double* xi,
+               SE3* q_next) {
   double tau[6];
   for (int i = 0; i < 6; ++i) tau[i] = xi[i] * M.dt;
   SE3 E;
@@ -81,8 +126,10 @@ void pose_step(const Model& M, const SE3& q, const double* xi, SE3* q_next) {
 // Fx per models/dynamics.py:234 (with ref_coad_swap); the gravity family
 // adds J_xi_q = Jinv [[0,0],[hat(R^T down),0]] dt (the reference omits the
 // m*g factor — quirk #2, models/dynamics.py; traopt_dynamics.py:1121-1134)
-void dynamics_jacobian(const Model& M, const SE3& q, const double* xi,
-                       double* Fx) {
+void dynamics_jacobian(const ModelSE3& M, const SE3& q, const double* xi,
+                       const double* u, double* Fx) {
+  (void)u;
+  constexpr int NX = 12;
   double tau[6], ntau[6];
   for (int i = 0; i < 6; ++i) { tau[i] = xi[i] * M.dt; ntau[i] = -tau[i]; }
   SE3 Einv;
@@ -133,11 +180,26 @@ void dynamics_jacobian(const Model& M, const SE3& q, const double* xi,
   }
 }
 
+// Fu = [0; Jinv Pu] dt (state-independent for the SE(3) family,
+// models/dynamics.py:246)
+void input_jacobian(const ModelSE3& M, const SE3& q, double* Fu) {
+  (void)q;
+  constexpr int NX = 12;
+  const int nu = M.nu;
+  double JiPu[6 * NU_MAX];
+  mat_mul(JiPu, M.Jinv, M.Pu, 6, 6, nu);
+  std::memset(Fu, 0, NX * nu * sizeof(double));
+  for (int i = 0; i < 6; ++i)
+    for (int j = 0; j < nu; ++j)
+      Fu[(i + 6) * nu + j] = JiPu[i * nu + j] * M.dt;
+}
+
 // GN tracking quadratization at stage i with weights (W1, W2)
 // (models/costs.py:103: e = Log(q q_ref^-1), J_e_x = Jr^-1(e) Ad_ref)
-void cost_quad(const Model& M, const SE3& q, const double* xi, int i,
-               const double* W1, const double* W2, double* l, double* lx,
-               double* lxx) {
+void cost_quad_w(const ModelSE3& M, const SE3& q, const double* xi, int i,
+                 const double* W1, const double* W2, double* l, double* lx,
+                 double* lxx) {
+  constexpr int NX = 12;
   SE3 Eq;
   se3_compose(&Eq, q, M.q_ref_inv[i]);
   double e[6], ev[6];
@@ -167,122 +229,309 @@ void cost_quad(const Model& M, const SE3& q, const double* xi, int i,
   *l = s;
 }
 
-struct Workspace {
-  std::vector<SE3> qs, fq;
-  std::vector<double> xis, fxi, Fx, d, lx, lxx, lu, k, K, l;
-  void resize(int N, int nu) {
-    qs.resize(N + 1);
-    fq.resize(N);
-    xis.resize((N + 1) * 6);
-    fxi.resize(N * 6);
-    Fx.resize(N * NX * NX);
-    d.resize(N * NX);
-    lx.resize((N + 1) * NX);
-    lxx.resize((N + 1) * NX * NX);
-    lu.resize(N * nu);
-    k.resize(N * nu);
-    K.resize(N * nu * NX);
-    l.resize(N + 1);
-  }
+void cost_quad_stage(const ModelSE3& M, const SE3& q, const double* xi, int i,
+                     double* l, double* lx, double* lxx) {
+  cost_quad_w(M, q, xi, i, M.Q1, M.Q2, l, lx, lxx);
+}
+
+void cost_quad_term(const ModelSE3& M, const SE3& q, const double* xi, int i,
+                    double* l, double* lx, double* lxx) {
+  cost_quad_w(M, q, xi, i, M.P1, M.P2, l, lx, lxx);
+}
+
+// ---- SO(3) model family (free attitude / 3-D pendulum) ---------------------
+
+struct ModelSO3 {
+  using Ops = SO3Ops;
+  double J[9];
+  double Jinv[9];
+  double dt;
+  double Q1[9], Q2[9], R[NU_MAX * NU_MAX], P1[9], P2[9];
+  bool pendulum;
+  bool term_quirk;  // terminal value+grad from Q, Hessian from P (SO3 class)
+  double m, l, g;   // pendulum mass, rod length, gravity
+  int nu;
+  std::vector<SO3Pose> q_ref, q_ref_inv;  // Ad(R) = R: q_ref doubles as Ad_ref
+  std::vector<double> xi_ref;             // (N+1) * 3
 };
 
-int solve_one(const Model& M, int N, int iters, const SE3& q0,
-              const double* xi0, double* us, double* J_out,
-              double* grad_out) {
-  const int nu = M.nu;
-  Workspace W;
-  W.resize(N, nu);
-  // init: x0 + reference tail (solvers/batched.py:209)
-  W.qs[0] = q0;
-  std::memcpy(&W.xis[0], xi0, 6 * sizeof(double));
-  for (int i = 1; i <= N; ++i) {
-    W.qs[i] = M.q_ref[i];
-    std::memcpy(&W.xis[i * 6], &M.xi_ref[i * 6], 6 * sizeof(double));
+// rho = (l/2) * down with down = (0,0,-1)  (models/dynamics.py:131)
+inline void pend_rho(const ModelSO3& M, double scale, double* v) {
+  v[0] = 0.0;
+  v[1] = 0.0;
+  v[2] = -scale * M.l / 2.0;
+}
+
+// free: xi_next = xi + dt Jinv (hat(xi)^T J xi + u)      (traopt_dynamics.py:369)
+// pendulum: torque += hat(m g rho) R^T down + hat(m rho) R^T u, no raw u
+// (traopt_dynamics.py:531-554, models/dynamics.py:136)
+void twist_step(const ModelSO3& M, const SO3Pose& q, const double* xi,
+                const double* u, double* xi_next) {
+  double Jxi[3], t[3];
+  mat_vec(Jxi, M.J, xi, 3, 3);
+  cross3(t, Jxi, xi);  // hat(xi)^T (J xi) = (J xi) x xi
+  if (M.pendulum) {
+    double Rt[9], b[3], Rtu[3], gterm[3], Mu[3], mgr[3], mr[3];
+    mat_T(Rt, q.R, 3, 3);
+    double down[3] = {0.0, 0.0, -1.0};
+    mat_vec(b, Rt, down, 3, 3);
+    mat_vec(Rtu, Rt, u, 3, 3);
+    pend_rho(M, M.m * M.g, mgr);
+    pend_rho(M, M.m, mr);
+    cross3(gterm, mgr, b);
+    cross3(Mu, mr, Rtu);
+    for (int i = 0; i < 3; ++i) t[i] += gterm[i] + Mu[i];
+  } else {
+    for (int i = 0; i < 3; ++i) t[i] += u[i];
   }
-  double JiPu[6 * NU];
-  mat_mul(JiPu, M.Jinv, M.Pu, 6, 6, nu);
-  double Fu[NX * NU];
+  double dxi[3];
+  mat_vec(dxi, M.Jinv, t, 3, 3);
+  for (int i = 0; i < 3; ++i) xi_next[i] = xi[i] + M.dt * dxi[i];
+}
+
+void pose_step(const ModelSO3& M, const SO3Pose& q, const double* xi,
+               SO3Pose* q_next) {
+  double tau[3], E[9], R[9];
+  for (int i = 0; i < 3; ++i) tau[i] = xi[i] * M.dt;
+  so3_exp(E, tau);
+  mat_mul(R, q.R, E, 3, 3, 3);
+  std::memcpy(q_next->R, R, sizeof(R));
+  so3_normalize(q_next->R);
+}
+
+// Fx per models/dynamics.py:91 (free) / :148 (pendulum):
+//   [[Exp(-tau), Jr(tau) dt], [L dt, I + H dt]]
+//   H = Jinv (hat(xi)^T J + hat(J xi));
+//   L = Jinv (hat(m g rho) R^T hat(down) R + hat(m rho) R^T hat(u) R)
+void dynamics_jacobian(const ModelSO3& M, const SO3Pose& q, const double* xi,
+                       const double* u, double* Fx) {
+  constexpr int NX = 6;
+  double tau[3], ntau[3];
+  for (int i = 0; i < 3; ++i) { tau[i] = xi[i] * M.dt; ntau[i] = -tau[i]; }
+  double Jqq[9], Jqxi[9];
+  so3_exp(Jqq, ntau);                // Ad(Exp(tau))^-1 = Exp(-tau)
+  so3_left_jacobian(Jqxi, ntau);     // Jr(tau) = Jl(-tau); * dt below
+  double W[9], WT[9], WTJ[9], Jxi[3], G[9], S[9], H[9];
+  so3_hat(W, xi);
+  mat_T(WT, W, 3, 3);
+  mat_mul(WTJ, WT, M.J, 3, 3, 3);
+  mat_vec(Jxi, M.J, xi, 3, 3);
+  so3_hat(G, Jxi);
+  for (int i = 0; i < 9; ++i) S[i] = WTJ[i] + G[i];
+  mat_mul(H, M.Jinv, S, 3, 3, 3);
+  std::memset(Fx, 0, NX * NX * sizeof(double));
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) {
+      Fx[i * NX + j] = Jqq[i * 3 + j];
+      Fx[i * NX + (j + 3)] = Jqxi[i * 3 + j] * M.dt;
+      Fx[(i + 3) * NX + (j + 3)] = (i == j ? 1.0 : 0.0) + M.dt * H[i * 3 + j];
+    }
+  if (M.pendulum) {
+    double Rt[9], hd[9], hu[9], mgr[3], mr[3], hmgr[9], hmr[9];
+    double T1[9], T2[9], L1[9], L2[9], SL[9], L[9];
+    mat_T(Rt, q.R, 3, 3);
+    double down[3] = {0.0, 0.0, -1.0};
+    so3_hat(hd, down);
+    so3_hat(hu, u);
+    pend_rho(M, M.m * M.g, mgr);
+    pend_rho(M, M.m, mr);
+    so3_hat(hmgr, mgr);
+    so3_hat(hmr, mr);
+    mat_mul(T1, Rt, hd, 3, 3, 3);
+    mat_mul(T2, T1, q.R, 3, 3, 3);
+    mat_mul(L1, hmgr, T2, 3, 3, 3);
+    mat_mul(T1, Rt, hu, 3, 3, 3);
+    mat_mul(T2, T1, q.R, 3, 3, 3);
+    mat_mul(L2, hmr, T2, 3, 3, 3);
+    for (int i = 0; i < 9; ++i) SL[i] = L1[i] + L2[i];
+    mat_mul(L, M.Jinv, SL, 3, 3, 3);
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) Fx[(i + 3) * NX + j] = M.dt * L[i * 3 + j];
+  }
+}
+
+// free: Fu = [0; Jinv] dt; pendulum: Fu = [0; Jinv hat(m rho) R^T] dt
+// (models/dynamics.py:168, traopt_dynamics.py:592-611)
+void input_jacobian(const ModelSO3& M, const SO3Pose& q, double* Fu) {
+  constexpr int NX = 6;
+  const int nu = M.nu;  // always 3
+  double bt[9];
+  if (M.pendulum) {
+    double Rt[9], mr[3], hmr[9], T[9];
+    mat_T(Rt, q.R, 3, 3);
+    pend_rho(M, M.m, mr);
+    so3_hat(hmr, mr);
+    mat_mul(T, hmr, Rt, 3, 3, 3);
+    mat_mul(bt, M.Jinv, T, 3, 3, 3);
+  } else {
+    std::memcpy(bt, M.Jinv, sizeof(bt));
+  }
   std::memset(Fu, 0, NX * nu * sizeof(double));
-  for (int i = 0; i < 6; ++i)
-    for (int j = 0; j < nu; ++j) Fu[(i + 6) * nu + j] = JiPu[i * nu + j] * M.dt;
-  double Luu[NU * NU];
-  for (int i = 0; i < nu * nu; ++i) Luu[i] = 2.0 * M.R[i];
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < nu; ++j) Fu[(i + 3) * nu + j] = bt[i * 3 + j] * M.dt;
+}
+
+// GN tracking quadratization, d = 3 (traopt_cost.py:280-564):
+// e = Log(R R_ref^T), J_e_x = Jr^-1(e) Ad(R_ref) = Jr^-1(e) R_ref
+void cost_quad_w(const ModelSO3& M, const SO3Pose& q, const double* xi, int i,
+                 const double* W1, const double* W2, double* l, double* lx,
+                 double* lxx) {
+  constexpr int NX = 6;
+  SO3Pose Eq;
+  SO3Ops::compose(&Eq, q, M.q_ref_inv[i]);
+  double e[3], ev[3], ne[3];
+  so3_log(e, Eq.R);
+  for (int k = 0; k < 3; ++k) {
+    ev[k] = xi[k] - M.xi_ref[i * 3 + k];
+    ne[k] = -e[k];
+  }
+  double Jri[9], Jex[9], JT[9], JTW[9], He[9];
+  so3_left_jacobian_inv(Jri, ne);  // Jr^-1(e) = Jl^-1(-e)
+  mat_mul(Jex, Jri, M.q_ref[i].R, 3, 3, 3);
+  mat_T(JT, Jex, 3, 3);
+  mat_mul(JTW, JT, W1, 3, 3, 3);
+  mat_mul(He, JTW, Jex, 3, 3, 3);
+  double W1e[3], W2ev[3], g1[3];
+  mat_vec(W1e, W1, e, 3, 3);
+  mat_vec(W2ev, W2, ev, 3, 3);
+  mat_vec(g1, JT, W1e, 3, 3);
+  std::memset(lxx, 0, NX * NX * sizeof(double));
+  for (int a = 0; a < 3; ++a) {
+    lx[a] = 2.0 * g1[a];
+    lx[a + 3] = 2.0 * W2ev[a];
+    for (int b = 0; b < 3; ++b) {
+      lxx[a * NX + b] = 2.0 * He[a * 3 + b];
+      lxx[(a + 3) * NX + (b + 3)] = 2.0 * W2[a * 3 + b];
+    }
+  }
+  double s = 0.0;
+  for (int a = 0; a < 3; ++a) s += e[a] * W1e[a] + ev[a] * W2ev[a];
+  *l = s;
+}
+
+void cost_quad_stage(const ModelSO3& M, const SO3Pose& q, const double* xi,
+                     int i, double* l, double* lx, double* lxx) {
+  cost_quad_w(M, q, xi, i, M.Q1, M.Q2, l, lx, lxx);
+}
+
+void cost_quad_term(const ModelSO3& M, const SO3Pose& q, const double* xi,
+                    int i, double* l, double* lx, double* lxx) {
+  if (!M.term_quirk) {
+    cost_quad_w(M, q, xi, i, M.P1, M.P2, l, lx, lxx);
+    return;
+  }
+  // reference SO(3) quirk: value + gradient from Q, Hessian from P
+  cost_quad_w(M, q, xi, i, M.Q1, M.Q2, l, lx, lxx);
+  double lq;
+  double lxq[6];
+  cost_quad_w(M, q, xi, i, M.P1, M.P2, &lq, lxq, lxx);
+  (void)lq;
+  (void)lxq;
+}
+
+// ---- group-generic MS-iLQR (fixed budget, mu = 0) ---------------------------
+
+template <class M>
+int solve_one(const M& Mdl, int N, int iters,
+              const typename M::Ops::Pose& q0, const double* xi0, double* us,
+              double* J_out, double* grad_out) {
+  using Ops = typename M::Ops;
+  using Pose = typename Ops::Pose;
+  constexpr int D = Ops::D;
+  constexpr int NX = 2 * D;
+  const int nu = Mdl.nu;
+
+  std::vector<Pose> qs(N + 1), fq(N);
+  std::vector<double> xis((N + 1) * D), fxi(N * D), Fx(N * NX * NX),
+      Fu(N * NX * nu), d(N * NX), lx((N + 1) * NX), lxx((N + 1) * NX * NX),
+      lu(N * nu), k(N * nu), K(N * nu * NX), l(N + 1);
+
+  // init: x0 + reference tail (solvers/batched.py:221)
+  qs[0] = q0;
+  std::memcpy(&xis[0], xi0, D * sizeof(double));
+  for (int i = 1; i <= N; ++i) {
+    qs[i] = Mdl.q_ref[i];
+    std::memcpy(&xis[i * D], &Mdl.xi_ref[i * D], D * sizeof(double));
+  }
+  double Luu[NU_MAX * NU_MAX];
+  for (int i = 0; i < nu * nu; ++i) Luu[i] = 2.0 * Mdl.R[i];
 
   double J_total = 0.0, grad_mean = 0.0;
   for (int it = 0; it < iters; ++it) {
-    // ---- linearize ------------------------------------------------------
+    // ---- linearize ----------------------------------------------------
     J_total = 0.0;
     for (int i = 0; i < N; ++i) {
-      const SE3& q = W.qs[i];
-      const double* xi = &W.xis[i * 6];
+      const Pose& q = qs[i];
+      const double* xi = &xis[i * D];
       const double* u = &us[i * nu];
-      pose_step(M, q, xi, &W.fq[i]);
-      twist_step(M, q, xi, u, &W.fxi[i * 6]);
-      dynamics_jacobian(M, q, xi, &W.Fx[i * NX * NX]);
+      pose_step(Mdl, q, xi, &fq[i]);
+      twist_step(Mdl, q, xi, u, &fxi[i * D]);
+      dynamics_jacobian(Mdl, q, xi, u, &Fx[i * NX * NX]);
+      input_jacobian(Mdl, q, &Fu[i * NX * nu]);
       // defect d = [Log(q_{i+1}^-1 fq), fxi - xi_{i+1}]
-      SE3 qn_inv, D;
-      se3_inverse(&qn_inv, W.qs[i + 1]);
-      se3_compose(&D, qn_inv, W.fq[i]);
-      se3_log(&W.d[i * NX], D);
-      for (int a = 0; a < 6; ++a)
-        W.d[i * NX + 6 + a] = W.fxi[i * 6 + a] - W.xis[(i + 1) * 6 + a];
-      cost_quad(M, q, xi, i, M.Q1, M.Q2, &W.l[i], &W.lx[i * NX],
-                &W.lxx[i * NX * NX]);
-      double Ru[NU];
-      mat_vec(Ru, M.R, u, nu, nu);
+      Pose qn_inv, Dp;
+      Ops::inverse(&qn_inv, qs[i + 1]);
+      Ops::compose(&Dp, qn_inv, fq[i]);
+      Ops::log(&d[i * NX], Dp);
+      for (int a = 0; a < D; ++a)
+        d[i * NX + D + a] = fxi[i * D + a] - xis[(i + 1) * D + a];
+      cost_quad_stage(Mdl, q, xi, i, &l[i], &lx[i * NX], &lxx[i * NX * NX]);
+      double Ru[NU_MAX];
+      mat_vec(Ru, Mdl.R, u, nu, nu);
       for (int a = 0; a < nu; ++a) {
-        W.lu[i * nu + a] = 2.0 * Ru[a];
-        W.l[i] += u[a] * Ru[a];
+        lu[i * nu + a] = 2.0 * Ru[a];
+        l[i] += u[a] * Ru[a];
       }
-      J_total += W.l[i];
+      J_total += l[i];
     }
-    cost_quad(M, W.qs[N], &W.xis[N * 6], N, M.P1, M.P2, &W.l[N],
-              &W.lx[N * NX], &W.lxx[N * NX * NX]);
-    J_total += W.l[N];
+    cost_quad_term(Mdl, qs[N], &xis[N * D], N, &l[N], &lx[N * NX],
+                   &lxx[N * NX * NX]);
+    J_total += l[N];
 
     // ---- Riccati backward (mu = 0) --------------------------------------
     double Vx[NX], Vxx[NX * NX];
-    std::memcpy(Vx, &W.lx[N * NX], sizeof(Vx));
-    std::memcpy(Vxx, &W.lxx[N * NX * NX], sizeof(Vxx));
+    std::memcpy(Vx, &lx[N * NX], sizeof(Vx));
+    std::memcpy(Vxx, &lxx[N * NX * NX], sizeof(Vxx));
     double grad_sum = 0.0;
     for (int i = N - 1; i >= 0; --i) {
-      const double* fx = &W.Fx[i * NX * NX];
-      const double* dd = &W.d[i * NX];
+      const double* fx = &Fx[i * NX * NX];
+      const double* fu = &Fu[i * NX * nu];
+      const double* dd = &d[i * NX];
       double Vmod[NX];
       mat_vec(Vmod, Vxx, dd, NX, NX);
       for (int a = 0; a < NX; ++a) Vmod[a] += Vx[a];
-      double Qx[NX], Qu[NU], fxT[NX * NX], fuT[NU * NX];
+      double Qx[NX], Qu[NU_MAX], fxT[NX * NX], fuT[NU_MAX * NX];
       mat_T(fxT, fx, NX, NX);
-      mat_T(fuT, Fu, NX, nu);
+      mat_T(fuT, fu, NX, nu);
       mat_vec(Qx, fxT, Vmod, NX, NX);
       mat_vec(Qu, fuT, Vmod, nu, NX);
-      for (int a = 0; a < NX; ++a) Qx[a] += W.lx[i * NX + a];
-      for (int a = 0; a < nu; ++a) Qu[a] += W.lu[i * nu + a];
+      for (int a = 0; a < NX; ++a) Qx[a] += lx[i * NX + a];
+      for (int a = 0; a < nu; ++a) Qu[a] += lu[i * nu + a];
       // gradient bookkeeping: g_i = lu + Fu^T (Vx1 + Vxx1 d)
       {
         double n = 0.0;
         for (int a = 0; a < nu; ++a) n += Qu[a] * Qu[a];
         grad_sum += std::sqrt(n);
       }
-      double VF[NX * NX], Qxx[NX * NX], Qux[NU * NX], Quu[NU * NU];
+      double VF[NX * NX], Qxx[NX * NX], Qux[NU_MAX * NX], Quu[NU_MAX * NU_MAX];
       mat_mul(VF, Vxx, fx, NX, NX, NX);
       mat_mul(Qxx, fxT, VF, NX, NX, NX);
       mat_mul(Qux, fuT, VF, nu, NX, NX);
-      double VFu[NX * NU];
-      mat_mul(VFu, Vxx, Fu, NX, NX, nu);
+      double VFu[NX * NU_MAX];
+      mat_mul(VFu, Vxx, fu, NX, NX, nu);
       mat_mul(Quu, fuT, VFu, nu, NX, nu);
-      for (int a = 0; a < NX * NX; ++a) Qxx[a] += W.lxx[i * NX * NX + a];
+      for (int a = 0; a < NX * NX; ++a) Qxx[a] += lxx[i * NX * NX + a];
       for (int a = 0; a < nu * nu; ++a) Quu[a] += Luu[a];
-      double* k_i = &W.k[i * nu];
-      double* K_i = &W.K[i * nu * NX];
+      double* k_i = &k[i * nu];
+      double* K_i = &K[i * nu * NX];
       if (!chol_solve(K_i, Quu, Qux, nu, NX)) return 1;
-      double ksol[NU];
+      double ksol[NU_MAX];
       if (!chol_solve(ksol, Quu, Qu, nu, 1)) return 1;
       for (int a = 0; a < nu * NX; ++a) K_i[a] = -K_i[a];
       for (int a = 0; a < nu; ++a) k_i[a] = -ksol[a];
       // Vx  = Qx + K^T Quu k + K^T Qu + Qux^T k
       // Vxx = Qxx + K^T Quu K + K^T Qux + Qux^T K   (symmetrized)
-      double KT[NX * NU], KTQ[NX * NU], QuxT[NX * NU];
+      double KT[NX * NU_MAX], KTQ[NX * NU_MAX], QuxT[NX * NU_MAX];
       mat_T(KT, K_i, nu, NX);
       mat_mul(KTQ, KT, Quu, NX, nu, nu);
       mat_T(QuxT, Qux, nu, NX);
@@ -296,11 +545,9 @@ int solve_one(const Model& M, int N, int iters, const SE3& q0,
       mat_mul(M2, KT, Qux, NX, nu, NX);
       mat_mul(M3, QuxT, K_i, NX, nu, NX);
       for (int a = 0; a < NX; ++a)
-        for (int b = 0; b < NX; ++b) {
-          double vab = Qxx[a * NX + b] + M1[a * NX + b] + M2[a * NX + b] +
-                       M3[a * NX + b];
-          Vxx[a * NX + b] = vab;
-        }
+        for (int b = 0; b < NX; ++b)
+          Vxx[a * NX + b] = Qxx[a * NX + b] + M1[a * NX + b] + M2[a * NX + b] +
+                            M3[a * NX + b];
       for (int a = 0; a < NX; ++a)
         for (int b = a + 1; b < NX; ++b) {
           double s = 0.5 * (Vxx[a * NX + b] + Vxx[b * NX + a]);
@@ -309,52 +556,52 @@ int solve_one(const Model& M, int N, int iters, const SE3& q0,
     }
     grad_mean = grad_sum / N;
 
-    // ---- gap-closing rollout, alpha = 1 (solvers/batched.py:164) --------
+    // ---- gap-closing rollout, alpha = 1 (solvers/batched.py:176) --------
     // Every stage reads the OLD trajectory (qs, xis); the new one goes into
     // separate buffers and is swapped in afterwards.
-    std::vector<SE3> qs_new(N + 1);
-    std::vector<double> xis_new((N + 1) * 6);
-    qs_new[0] = W.qs[0];
-    std::memcpy(&xis_new[0], &W.xis[0], 6 * sizeof(double));
-    SE3 q_new = W.qs[0];
-    double xi_new[6];
-    std::memcpy(xi_new, &W.xis[0], sizeof(xi_new));
+    std::vector<Pose> qs_new(N + 1);
+    std::vector<double> xis_new((N + 1) * D);
+    qs_new[0] = qs[0];
+    std::memcpy(&xis_new[0], &xis[0], D * sizeof(double));
+    Pose q_new = qs[0];
+    double xi_new[D];
+    std::memcpy(xi_new, &xis[0], sizeof(xi_new));
     for (int i = 0; i < N; ++i) {
       double xs_err[NX];
-      SE3 qi_inv, Eq;
-      se3_inverse(&qi_inv, W.qs[i]);
-      se3_compose(&Eq, qi_inv, q_new);
-      se3_log(xs_err, Eq);
-      for (int a = 0; a < 6; ++a)
-        xs_err[6 + a] = xi_new[a] - W.xis[i * 6 + a];
-      double u_new[NU];
-      mat_vec(u_new, &W.K[i * nu * NX], xs_err, nu, NX);
+      Pose qi_inv, Eq;
+      Ops::inverse(&qi_inv, qs[i]);
+      Ops::compose(&Eq, qi_inv, q_new);
+      Ops::log(xs_err, Eq);
+      for (int a = 0; a < D; ++a)
+        xs_err[D + a] = xi_new[a] - xis[i * D + a];
+      double u_new[NU_MAX];
+      mat_vec(u_new, &K[i * nu * NX], xs_err, nu, NX);
       for (int a = 0; a < nu; ++a)
-        u_new[a] += us[i * nu + a] + W.k[i * nu + a];
-      SE3 fq_new;
-      double fxi_new[6];
-      pose_step(M, q_new, xi_new, &fq_new);
-      twist_step(M, q_new, xi_new, u_new, fxi_new);
+        u_new[a] += us[i * nu + a] + k[i * nu + a];
+      Pose fq_new;
+      double fxi_new[D];
+      pose_step(Mdl, q_new, xi_new, &fq_new);
+      twist_step(Mdl, q_new, xi_new, u_new, fxi_new);
       // q_nn = normalize(q_{i+1} Exp(d_q) fq_old^-1 fq_new)
-      SE3 Ed, fq_inv, A, B, q_nn;
-      se3_exp(&Ed, &W.d[i * NX]);
-      se3_inverse(&fq_inv, W.fq[i]);
-      se3_compose(&A, W.qs[i + 1], Ed);
-      se3_compose(&B, A, fq_inv);
-      se3_compose(&q_nn, B, fq_new);
-      se3_normalize(&q_nn);
-      double xi_nn[6];
-      for (int a = 0; a < 6; ++a)
-        xi_nn[a] = W.xis[(i + 1) * 6 + a] + fxi_new[a] - W.fxi[i * 6 + a] +
-                   W.d[i * NX + 6 + a];
+      Pose Ed, fq_inv, A, B, q_nn;
+      Ops::exp(&Ed, &d[i * NX]);
+      Ops::inverse(&fq_inv, fq[i]);
+      Ops::compose(&A, qs[i + 1], Ed);
+      Ops::compose(&B, A, fq_inv);
+      Ops::compose(&q_nn, B, fq_new);
+      Ops::normalize(&q_nn);
+      double xi_nn[D];
+      for (int a = 0; a < D; ++a)
+        xi_nn[a] = xis[(i + 1) * D + a] + fxi_new[a] - fxi[i * D + a] +
+                   d[i * NX + D + a];
       std::memcpy(&us[i * nu], u_new, nu * sizeof(double));
       q_new = q_nn;
       std::memcpy(xi_new, xi_nn, sizeof(xi_nn));
       qs_new[i + 1] = q_nn;
-      std::memcpy(&xis_new[(i + 1) * 6], xi_nn, sizeof(xi_nn));
+      std::memcpy(&xis_new[(i + 1) * D], xi_nn, sizeof(xi_nn));
     }
-    W.qs.swap(qs_new);
-    W.xis.swap(xis_new);
+    qs.swap(qs_new);
+    xis.swap(xis_new);
   }
   if (J_out) *J_out = J_total;
   if (grad_out) *grad_out = grad_mean;
@@ -363,7 +610,7 @@ int solve_one(const Model& M, int N, int iters, const SE3& q0,
 
 // g = 0 + Pu = null selects the free body (identity projection, nu = 6);
 // g > 0 enables the gravity wrench + Fx block; Pu (6 x nu) the drone family.
-void build_model(Model* M, const double* J6, double dt, double g,
+void build_model(ModelSE3* M, const double* J6, double dt, double g,
                  const double* Pu, int nu, const double* Q12,
                  const double* Rnu, const double* P12, const double* q_ref,
                  const double* xi_ref, int N) {
@@ -406,6 +653,41 @@ void build_model(Model* M, const double* J6, double dt, double g,
   }
 }
 
+// pendulum = 0 selects the free attitude body (raw torque input);
+// pendulum = 1 the pivot-actuated pendulum with (m, l, g).
+void build_model_so3(ModelSO3* M, const double* J3, double dt, int pendulum,
+                     double m, double l, double g, int term_quirk,
+                     const double* Q6, const double* R3, const double* P6,
+                     const double* q_ref, const double* xi_ref, int N) {
+  std::memcpy(M->J, J3, sizeof(M->J));
+  double I3[9];
+  std::memset(I3, 0, sizeof(I3));
+  I3[0] = I3[4] = I3[8] = 1.0;
+  chol_solve(M->Jinv, J3, I3, 3, 3);
+  M->dt = dt;
+  M->nu = 3;
+  M->pendulum = pendulum != 0;
+  M->term_quirk = term_quirk != 0;
+  M->m = m;
+  M->l = l;
+  M->g = g;
+  for (int a = 0; a < 3; ++a)
+    for (int b = 0; b < 3; ++b) {
+      M->Q1[a * 3 + b] = Q6[a * 6 + b];
+      M->Q2[a * 3 + b] = Q6[(a + 3) * 6 + (b + 3)];
+      M->P1[a * 3 + b] = P6[a * 6 + b];
+      M->P2[a * 3 + b] = P6[(a + 3) * 6 + (b + 3)];
+    }
+  std::memcpy(M->R, R3, 9 * sizeof(double));
+  M->q_ref.resize(N + 1);
+  M->q_ref_inv.resize(N + 1);
+  M->xi_ref.assign(xi_ref, xi_ref + (N + 1) * 3);
+  for (int i = 0; i <= N; ++i) {
+    std::memcpy(M->q_ref[i].R, q_ref + i * 9, 9 * sizeof(double));
+    SO3Ops::inverse(&M->q_ref_inv[i], M->q_ref[i]);
+  }
+}
+
 }  // namespace
 }  // namespace traopt
 
@@ -420,7 +702,7 @@ int traopt_rb_ms_ilqr_solve(const double* J6, double dt, double g,
                             const double* q_ref, const double* xi_ref, int N,
                             int iters, const double* q0_16, const double* xi0,
                             double* us, double* J_out, double* grad_out) {
-  traopt::Model M;
+  traopt::ModelSE3 M;
   traopt::build_model(&M, J6, dt, g, Pu, nu, Q12, Rnu, P12, q_ref, xi_ref, N);
   traopt::SE3 q0;
   for (int r = 0; r < 3; ++r) {
@@ -439,7 +721,7 @@ int traopt_rb_ms_ilqr_solve_batch(const double* J6, double dt, double g,
                                   int B, const double* q0s_16,
                                   const double* xi0s, double* us,
                                   double* J_outs, double* grad_outs) {
-  traopt::Model M;
+  traopt::ModelSE3 M;
   traopt::build_model(&M, J6, dt, g, Pu, nu, Q12, Rnu, P12, q_ref, xi_ref, N);
   int rc = 0;
   for (int b = 0; b < B; ++b) {
@@ -472,12 +754,57 @@ int traopt_se3_ms_ilqr_solve(const double* J6, double dt, const double* Q12,
 int traopt_se3_ms_ilqr_solve_batch(const double* J6, double dt,
                                    const double* Q12, const double* R6,
                                    const double* P12, const double* q_ref,
-                                   const double* xi_ref, int N, int iters,
-                                   int B, const double* q0s_16,
+                                   const double* xi_ref, int N,
+                                   int iters, int B, const double* q0s_16,
                                    const double* xi0s, double* us,
                                    double* J_outs, double* grad_outs) {
   return traopt_rb_ms_ilqr_solve_batch(J6, dt, 0.0, nullptr, 6, Q12, R6, P12,
                                        q_ref, xi_ref, N, iters, B, q0s_16,
                                        xi0s, us, J_outs, grad_outs);
+}
+
+// Solve one SO(3) attitude tracking MS-iLQR problem (free attitude:
+// pendulum = 0; 3-D pendulum: pendulum = 1 with mass m, rod length l,
+// gravity g).  term_quirk selects the reference SO(3) cost class's terminal
+// Q/P inconsistency.  Layout: row-major doubles; q_ref (N+1)x3x3 rotation
+// matrices, xi_ref (N+1)x3, us Nx3 in/out.
+int traopt_so3_ms_ilqr_solve(const double* J3, double dt, int pendulum,
+                             double m, double l, double g, int term_quirk,
+                             const double* Q6, const double* R3,
+                             const double* P6, const double* q_ref,
+                             const double* xi_ref, int N, int iters,
+                             const double* q0_9, const double* xi0,
+                             double* us, double* J_out, double* grad_out) {
+  traopt::ModelSO3 M;
+  traopt::build_model_so3(&M, J3, dt, pendulum, m, l, g, term_quirk, Q6, R3,
+                          P6, q_ref, xi_ref, N);
+  traopt::SO3Pose q0;
+  std::memcpy(q0.R, q0_9, 9 * sizeof(double));
+  return traopt::solve_one(M, N, iters, q0, xi0, us, J_out, grad_out);
+}
+
+int traopt_so3_ms_ilqr_solve_batch(const double* J3, double dt, int pendulum,
+                                   double m, double l, double g,
+                                   int term_quirk, const double* Q6,
+                                   const double* R3, const double* P6,
+                                   const double* q_ref, const double* xi_ref,
+                                   int N, int iters, int B,
+                                   const double* q0s_9, const double* xi0s,
+                                   double* us, double* J_outs,
+                                   double* grad_outs) {
+  traopt::ModelSO3 M;
+  traopt::build_model_so3(&M, J3, dt, pendulum, m, l, g, term_quirk, Q6, R3,
+                          P6, q_ref, xi_ref, N);
+  int rc = 0;
+  for (int b = 0; b < B; ++b) {
+    traopt::SO3Pose q0;
+    std::memcpy(q0.R, q0s_9 + b * 9, 9 * sizeof(double));
+    int r1 = traopt::solve_one(M, N, iters, q0, xi0s + b * 3,
+                               us + b * N * 3,
+                               J_outs ? J_outs + b : nullptr,
+                               grad_outs ? grad_outs + b : nullptr);
+    if (r1) rc = r1;
+  }
+  return rc;
 }
 }
