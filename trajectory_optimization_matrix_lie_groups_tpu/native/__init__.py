@@ -37,10 +37,15 @@ def _build():
             return _LIB_PATH
     with tempfile.TemporaryDirectory() as td:
         tmp = os.path.join(td, "_traopt_native.so")
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-             _SRC, "-o", tmp],
-            check=True, capture_output=True)
+        base = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "-fPIC", _SRC, "-o", tmp]
+        try:
+            # -fopenmp: multi-core batch fan-out (the pragma is a no-op
+            # without it, so fall back to a serial build if libgomp is absent)
+            subprocess.run(base + ["-fopenmp"], check=True,
+                           capture_output=True)
+        except subprocess.CalledProcessError:
+            subprocess.run(base, check=True, capture_output=True)
         os.replace(tmp, _LIB_PATH)
     return _LIB_PATH
 

@@ -724,6 +724,9 @@ int traopt_rb_ms_ilqr_solve_batch(const double* J6, double dt, double g,
   traopt::ModelSE3 M;
   traopt::build_model(&M, J6, dt, g, Pu, nu, Q12, Rnu, P12, q_ref, xi_ref, N);
   int rc = 0;
+  // problems are independent: fan out over host cores (the native analog of
+  // the reference's joblib.Parallel sweep, perturb_all_compute.py:245)
+#pragma omp parallel for schedule(dynamic) reduction(max : rc)
   for (int b = 0; b < B; ++b) {
     traopt::SE3 q0;
     const double* T = q0s_16 + b * 16;
@@ -735,7 +738,7 @@ int traopt_rb_ms_ilqr_solve_batch(const double* J6, double dt, double g,
                                us + b * N * nu,
                                J_outs ? J_outs + b : nullptr,
                                grad_outs ? grad_outs + b : nullptr);
-    if (r1) rc = r1;
+    if (r1 > rc) rc = r1;
   }
   return rc;
 }
@@ -796,6 +799,7 @@ int traopt_so3_ms_ilqr_solve_batch(const double* J3, double dt, int pendulum,
   traopt::build_model_so3(&M, J3, dt, pendulum, m, l, g, term_quirk, Q6, R3,
                           P6, q_ref, xi_ref, N);
   int rc = 0;
+#pragma omp parallel for schedule(dynamic) reduction(max : rc)
   for (int b = 0; b < B; ++b) {
     traopt::SO3Pose q0;
     std::memcpy(q0.R, q0s_9 + b * 9, 9 * sizeof(double));
@@ -803,7 +807,7 @@ int traopt_so3_ms_ilqr_solve_batch(const double* J3, double dt, int pendulum,
                                us + b * N * 3,
                                J_outs ? J_outs + b : nullptr,
                                grad_outs ? grad_outs + b : nullptr);
-    if (r1) rc = r1;
+    if (r1 > rc) rc = r1;
   }
   return rc;
 }
