@@ -157,3 +157,43 @@ def test_native_so3_matches_jax_engine(name, pendulum):
 
     us1, J1, g1 = s.solve(np.asarray(q0s[0]), np.asarray(xi0s[0]))
     np.testing.assert_allclose(us1, us[0], atol=1e-12)
+
+
+def test_native_mpc_matches_jax_closed_loop():
+    """NativeMPC == make_closed_loop (backward='sequential_fixed') at f64."""
+    import dataclasses
+
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import (
+        LieILQR,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.mpc import (
+        make_closed_loop,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    H, T, ITERS = 20, 12, 4
+    data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    cfg = dataclasses.replace(solver.cfg, N=H, max_iterations=ITERS,
+                              tol_grad_norm=0.0, tol_d_norm=0.0,
+                              backward="sequential_fixed")
+    eng = LieILQR(solver.model, cfg)
+    cp = params["cost"]
+    q0 = jnp.asarray(np.asarray(cp.q_ref[0]))
+    xi0 = (jnp.asarray(np.asarray(cp.xi_ref[0]))
+           + 0.05 * jnp.arange(6, dtype=jnp.float64))
+    ref = make_closed_loop(eng, T)(params, q0, xi0)
+
+    prob = data["prob"]
+    s = native.NativeSE3Solver(prob["J"], prob["dt"], prob["Q"], prob["R"],
+                               prob["P"], np.asarray(cp.q_ref),
+                               np.asarray(cp.xi_ref), iterations=ITERS)
+    mpc = native.NativeMPC(s, H)
+    qs, xis, us, J_pred = mpc.run(np.asarray(q0), np.asarray(xi0), T)
+    np.testing.assert_allclose(us, np.asarray(ref.us), atol=1e-9)
+    np.testing.assert_allclose(qs, np.asarray(ref.qs), atol=1e-9)
+    np.testing.assert_allclose(xis, np.asarray(ref.xis), atol=1e-9)
+    # J conventions differ by one rollout (post-rollout vs linearization
+    # point); see scripts/probe_native_mpc.py
+    np.testing.assert_allclose(J_pred, np.asarray(ref.J_pred), rtol=1e-4)

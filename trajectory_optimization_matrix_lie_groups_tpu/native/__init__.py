@@ -79,6 +79,14 @@ def _load():
         dp, ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_int, dp, dp, dp, dp, dp, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp]
+    lib.traopt_rb_step.restype = ctypes.c_int
+    lib.traopt_rb_step.argtypes = [
+        dp, ctypes.c_double, ctypes.c_double, dp, ctypes.c_int,
+        dp, dp, dp, dp, dp]
+    lib.traopt_so3_step.restype = ctypes.c_int
+    lib.traopt_so3_step.argtypes = [
+        dp, ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, dp, dp, dp, dp, dp]
     return lib
 
 
@@ -129,18 +137,35 @@ class NativeSE3Solver:
 
     def solve(self, q0, xi0, us0=None):
         """One problem: returns (us, J, grad_norm)."""
+        return self.solve_window(q0, xi0, 0, self.N, us0)
+
+    def solve_window(self, q0, xi0, t, H, us0=None):
+        """Solve over the (H+1)-entry reference window starting at step t
+        (contiguous view, no copy) — the receding-horizon building block."""
+        if t + H > self.N:
+            raise ValueError(f"window [{t}, {t + H}] exceeds reference "
+                             f"(N={self.N})")
         us = (_c(us0).copy() if us0 is not None
-              else np.zeros((self.N, self.nu)))
+              else np.zeros((H, self.nu)))
         J_out = np.zeros(1)
         g_out = np.zeros(1)
         rc = LIB.traopt_rb_ms_ilqr_solve(
             _ptr(self.J), self.dt, self.g, self._pu_ptr(), self.nu,
             _ptr(self.Q), _ptr(self.R), _ptr(self.P),
-            _ptr(self.q_ref), _ptr(self.xi_ref), self.N, self.iterations,
+            _ptr(self.q_ref[t:]), _ptr(self.xi_ref[t:]), H, self.iterations,
             _ptr(_c(q0)), _ptr(_c(xi0)), _ptr(us), _ptr(J_out), _ptr(g_out))
         if rc:
             raise RuntimeError(f"native solve failed (rc={rc})")
         return us, float(J_out[0]), float(g_out[0])
+
+    def step(self, q, xi, u):
+        """One plant step of this model family (4x4 pose in/out)."""
+        q_out = np.zeros((4, 4))
+        xi_out = np.zeros(6)
+        LIB.traopt_rb_step(_ptr(self.J), self.dt, self.g, self._pu_ptr(),
+                           self.nu, _ptr(_c(q)), _ptr(_c(xi)), _ptr(_c(u)),
+                           _ptr(q_out), _ptr(xi_out))
+        return q_out, xi_out
 
     def solve_batch(self, q0s, xi0s, us0=None):
         """B independent problems: returns (us (B,N,nu), J (B,), grad (B,))."""
@@ -199,19 +224,36 @@ class NativeSO3Solver:
 
     def solve(self, q0, xi0, us0=None):
         """One problem: returns (us, J, grad_norm)."""
+        return self.solve_window(q0, xi0, 0, self.N, us0)
+
+    def solve_window(self, q0, xi0, t, H, us0=None):
+        """Solve over the (H+1)-entry reference window starting at step t."""
+        if t + H > self.N:
+            raise ValueError(f"window [{t}, {t + H}] exceeds reference "
+                             f"(N={self.N})")
         us = (_c(us0).copy() if us0 is not None
-              else np.zeros((self.N, 3)))
+              else np.zeros((H, 3)))
         J_out = np.zeros(1)
         g_out = np.zeros(1)
         rc = LIB.traopt_so3_ms_ilqr_solve(
             _ptr(self.J), self.dt, int(self.pendulum), self.m, self.length,
             self.g, int(self.term_quirk),
             _ptr(self.Q), _ptr(self.R), _ptr(self.P),
-            _ptr(self.q_ref), _ptr(self.xi_ref), self.N, self.iterations,
+            _ptr(self.q_ref[t:]), _ptr(self.xi_ref[t:]), H, self.iterations,
             _ptr(_c(q0)), _ptr(_c(xi0)), _ptr(us), _ptr(J_out), _ptr(g_out))
         if rc:
             raise RuntimeError(f"native SO3 solve failed (rc={rc})")
         return us, float(J_out[0]), float(g_out[0])
+
+    def step(self, q, xi, u):
+        """One plant step of this model family (3x3 rotation in/out)."""
+        q_out = np.zeros((3, 3))
+        xi_out = np.zeros(3)
+        LIB.traopt_so3_step(_ptr(self.J), self.dt, int(self.pendulum),
+                            self.m, self.length, self.g,
+                            _ptr(_c(q)), _ptr(_c(xi)), _ptr(_c(u)),
+                            _ptr(q_out), _ptr(xi_out))
+        return q_out, xi_out
 
     def solve_batch(self, q0s, xi0s, us0=None):
         """B independent problems: returns (us (B,N,3), J (B,), grad (B,))."""
@@ -230,3 +272,43 @@ class NativeSO3Solver:
         if rc:
             raise RuntimeError(f"native SO3 batch solve failed (rc={rc})")
         return us, J_out, g_out
+
+
+class NativeMPC:
+    """Receding-horizon closed loop on the native executor.
+
+    Same per-step semantics as the JAX driver `solvers/mpc.make_closed_loop`
+    (window slice -> warm-started fixed-budget solve -> apply u0 -> shift),
+    but running entirely on the host CPU — the deployable no-TPU MPC runtime.
+    The solver must be built on the FULL reference path; each plant step
+    solves the H-window starting at that step (zero-copy contiguous views).
+    """
+
+    def __init__(self, solver, H: int):
+        if solver.N < H + 1:
+            raise ValueError("reference shorter than one MPC window")
+        self.solver = solver
+        self.H = H
+
+    def run(self, q0, xi0, T: int):
+        """T closed-loop plant steps; returns (qs, xis, us, J_pred)."""
+        s, H = self.solver, self.H
+        if T + H > s.N:
+            raise ValueError(f"T={T} needs reference N >= {T + H}, "
+                             f"have {s.N}")
+        nu = 6 if isinstance(s, NativeSE3Solver) and s.Pu is None else (
+            s.nu if isinstance(s, NativeSE3Solver) else 3)
+        q, xi = _c(q0), _c(xi0)
+        us_warm = np.zeros((H, nu))
+        qs, xis, us_applied, J_pred = [q], [xi], [], []
+        for t in range(T):
+            us, J, _ = s.solve_window(q, xi, t, H, us_warm)
+            u0 = us[0]
+            q, xi = s.step(q, xi, u0)
+            us_warm = np.concatenate([us[1:], us[-1:]], axis=0)
+            qs.append(q)
+            xis.append(xi)
+            us_applied.append(u0)
+            J_pred.append(J)
+        return (np.stack(qs), np.stack(xis), np.stack(us_applied),
+                np.asarray(J_pred))

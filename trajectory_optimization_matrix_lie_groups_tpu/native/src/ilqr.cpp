@@ -608,12 +608,11 @@ int solve_one(const M& Mdl, int N, int iters,
   return 0;
 }
 
-// g = 0 + Pu = null selects the free body (identity projection, nu = 6);
-// g > 0 enables the gravity wrench + Fx block; Pu (6 x nu) the drone family.
-void build_model(ModelSE3* M, const double* J6, double dt, double g,
-                 const double* Pu, int nu, const double* Q12,
-                 const double* Rnu, const double* P12, const double* q_ref,
-                 const double* xi_ref, int N) {
+// Dynamics-only fields (shared by the solver builder and the bare plant-step
+// entry): g = 0 + Pu = null selects the free body (identity projection,
+// nu = 6); g > 0 enables the gravity wrench + Fx block; Pu (6 x nu) drone.
+void init_dynamics_se3(ModelSE3* M, const double* J6, double dt, double g,
+                       const double* Pu, int nu) {
   std::memcpy(M->J, J6, sizeof(M->J));
   double I6[36];
   std::memset(I6, 0, sizeof(I6));
@@ -630,6 +629,13 @@ void build_model(ModelSE3* M, const double* J6, double dt, double g,
   } else {
     for (int i = 0; i < 6 && i < nu; ++i) M->Pu[i * nu + i] = 1.0;
   }
+}
+
+void build_model(ModelSE3* M, const double* J6, double dt, double g,
+                 const double* Pu, int nu, const double* Q12,
+                 const double* Rnu, const double* P12, const double* q_ref,
+                 const double* xi_ref, int N) {
+  init_dynamics_se3(M, J6, dt, g, Pu, nu);
   for (int a = 0; a < 6; ++a)
     for (int b = 0; b < 6; ++b) {
       M->Q1[a * 6 + b] = Q12[a * 12 + b];
@@ -653,12 +659,10 @@ void build_model(ModelSE3* M, const double* J6, double dt, double g,
   }
 }
 
-// pendulum = 0 selects the free attitude body (raw torque input);
-// pendulum = 1 the pivot-actuated pendulum with (m, l, g).
-void build_model_so3(ModelSO3* M, const double* J3, double dt, int pendulum,
-                     double m, double l, double g, int term_quirk,
-                     const double* Q6, const double* R3, const double* P6,
-                     const double* q_ref, const double* xi_ref, int N) {
+// Dynamics-only fields: pendulum = 0 selects the free attitude body (raw
+// torque input); pendulum = 1 the pivot-actuated pendulum with (m, l, g).
+void init_dynamics_so3(ModelSO3* M, const double* J3, double dt, int pendulum,
+                       double m, double l, double g) {
   std::memcpy(M->J, J3, sizeof(M->J));
   double I3[9];
   std::memset(I3, 0, sizeof(I3));
@@ -667,10 +671,17 @@ void build_model_so3(ModelSO3* M, const double* J3, double dt, int pendulum,
   M->dt = dt;
   M->nu = 3;
   M->pendulum = pendulum != 0;
-  M->term_quirk = term_quirk != 0;
   M->m = m;
   M->l = l;
   M->g = g;
+}
+
+void build_model_so3(ModelSO3* M, const double* J3, double dt, int pendulum,
+                     double m, double l, double g, int term_quirk,
+                     const double* Q6, const double* R3, const double* P6,
+                     const double* q_ref, const double* xi_ref, int N) {
+  init_dynamics_so3(M, J3, dt, pendulum, m, l, g);
+  M->term_quirk = term_quirk != 0;
   for (int a = 0; a < 3; ++a)
     for (int b = 0; b < 3; ++b) {
       M->Q1[a * 3 + b] = Q6[a * 6 + b];
@@ -810,5 +821,42 @@ int traopt_so3_ms_ilqr_solve_batch(const double* J3, double dt, int pendulum,
     if (r1 > rc) rc = r1;
   }
   return rc;
+}
+
+// One SE(3)-family plant step (semi-implicit Euler, pose renormalized):
+// q in/out as 4x4 homogeneous row-major.  For embedded/receding-horizon use.
+int traopt_rb_step(const double* J6, double dt, double g, const double* Pu,
+                   int nu, const double* q_16, const double* xi,
+                   const double* u, double* q_out_16, double* xi_out) {
+  traopt::ModelSE3 M;
+  traopt::init_dynamics_se3(&M, J6, dt, g, Pu, nu);
+  traopt::SE3 q, qn;
+  for (int r = 0; r < 3; ++r) {
+    for (int c = 0; c < 3; ++c) q.R[r * 3 + c] = q_16[r * 4 + c];
+    q.p[r] = q_16[r * 4 + 3];
+  }
+  traopt::pose_step(M, q, xi, &qn);
+  traopt::twist_step(M, q, xi, u, xi_out);
+  for (int r = 0; r < 3; ++r) {
+    for (int c = 0; c < 3; ++c) q_out_16[r * 4 + c] = qn.R[r * 3 + c];
+    q_out_16[r * 4 + 3] = qn.p[r];
+    q_out_16[12 + r] = 0.0;
+  }
+  q_out_16[15] = 1.0;
+  return 0;
+}
+
+// One SO(3)-family plant step; q in/out as 3x3 rotation row-major.
+int traopt_so3_step(const double* J3, double dt, int pendulum, double m,
+                    double l, double g, const double* q_9, const double* xi,
+                    const double* u, double* q_out_9, double* xi_out) {
+  traopt::ModelSO3 M;
+  traopt::init_dynamics_so3(&M, J3, dt, pendulum, m, l, g);
+  traopt::SO3Pose q, qn;
+  std::memcpy(q.R, q_9, 9 * sizeof(double));
+  traopt::pose_step(M, q, xi, &qn);
+  traopt::twist_step(M, q, xi, u, xi_out);
+  std::memcpy(q_out_9, qn.R, 9 * sizeof(double));
+  return 0;
 }
 }
