@@ -30,6 +30,22 @@ def test_cli_dynamics_sim(capsys):
     # rollout over a short horizon; velocity part is exact by construction
     assert out["vel_divergence_max"] < 1e-10
     assert out["pose_divergence_max"] < 0.05
+    # open-loop pendulum released at 10 deg oscillates through the hanging
+    # equilibrium and stays bounded (ref main_pendulum3d_dynamics.py)
+    assert out["pendulum_swings"]
+
+
+def test_cli_mpc_native(capsys):
+    from trajectory_optimization_matrix_lie_groups_tpu import native
+
+    if native.LIB is None:
+        pytest.skip("no native toolchain")
+    main(["mpc_native"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["steps"] == 150
+    # receding-horizon loop shrinks the injected initial perturbation
+    assert out["tracking_err_shrink_ratio"] < 0.8
+    assert out["solves_per_s"] > 50
 
 
 @pytest.mark.parity

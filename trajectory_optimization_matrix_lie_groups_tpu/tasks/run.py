@@ -547,6 +547,45 @@ def run_mpc(args):
                             f"{args.plot}/mpc_trajectory.png")
 
 
+def run_mpc_native(args):
+    """Closed-loop MPC on the native C++ runtime (no TPU/JAX device in the
+    loop): the deployable-controller counterpart of the `mpc` task, same
+    window/budget/warm-start semantics (native.NativeMPC)."""
+    from trajectory_optimization_matrix_lie_groups_tpu import native
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    if native.LIB is None:
+        print(json.dumps(dict(task="mpc_native", error="no native toolchain")))
+        return
+    data, _, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    prob = data["prob"]
+    cp = params["cost"]
+    H, T = 40, 150
+    s = native.NativeSE3Solver(prob["J"], prob["dt"], prob["Q"], prob["R"],
+                               prob["P"], np.asarray(cp.q_ref),
+                               np.asarray(cp.xi_ref), iterations=4)
+    mpc = native.NativeMPC(s, H)
+    q0 = np.asarray(SE3.normalize(cp.q_ref[0] @ SE3.exp(
+        jnp.asarray([0.05, -0.03, 0.08, 0.3, -0.2, 0.25], cp.xi_ref.dtype))))
+    t0 = time.perf_counter()
+    qs, xis, us, J_pred = mpc.run(q0, np.asarray(cp.xi_ref[0]), T)
+    wall = time.perf_counter() - t0
+    track_err = jnp.linalg.norm(
+        se3.log(se3.inverse(cp.q_ref[: T + 1]) @ jnp.asarray(qs)), axis=-1)
+    print(json.dumps(dict(
+        task="mpc_native", horizon=H, steps=T, wall_s=round(wall, 3),
+        solves_per_s=round(T / wall, 1),
+        ms_per_solve=round(wall / T * 1e3, 3),
+        tracking_err_initial=float(track_err[0]),
+        tracking_err_final=float(track_err[-1]),
+        tracking_err_shrink_ratio=float(track_err[-1] / track_err[0]),
+    )))
+
+
 def run_benchmark_compare(args):
     """Cross-solver agreement benchmark (ref `benchmark_SE3_tracking.py`):
     MS-iLQR vs SS-iLQR vs the three embedded baselines on one SE(3)
@@ -762,6 +801,7 @@ TASKS = {
     "dynamics_sim": run_dynamics_sim,
     "cost_landscape": run_cost_landscape,
     "mpc": run_mpc,
+    "mpc_native": run_mpc_native,
     "al_batch": run_al_batch,
     "mpc_batch": run_mpc_batch,
     "benchmark_compare": run_benchmark_compare,
