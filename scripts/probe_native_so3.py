@@ -25,6 +25,7 @@ from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import (
 )
 from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
     build_benchmark,
+    cut_reference,
 )
 
 
@@ -32,11 +33,7 @@ def check(name, pendulum):
     H, ITERS, B = 30, 6, 2
     data, solver, params, x0, us0, _ = build_benchmark(name, True)
     prob = data["prob"]
-    cp = params["cost"]
-    cut = lambda a: a[: H + 1]
-    params = {**params, "cost": cp._replace(
-        q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
-        Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))}
+    params = cut_reference(params, H)
     cp = params["cost"]
     dq = 0.05 * jax.random.normal(jax.random.PRNGKey(3), (B, 3))
     q0s = SO3.normalize(cp.q_ref[0][None] @ SO3.exp(dq))

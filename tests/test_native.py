@@ -10,8 +10,10 @@ import jax.numpy as jnp
 from trajectory_optimization_matrix_lie_groups_tpu import native
 import bench
 
-pytestmark = pytest.mark.skipif(native.LIB is None,
-                                reason="no native toolchain")
+# every test solves problems rebuilt from the reference benchmark pickles
+pytestmark = [pytest.mark.skipif(native.LIB is None,
+                                 reason="no native toolchain"),
+              pytest.mark.parity]
 
 
 def _problem(horizon):
@@ -44,17 +46,14 @@ def test_native_matches_jax_engine():
     )
     from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
         build_benchmark,
+        cut_reference,
     )
     from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
     import jax
 
     H, ITERS, B = 40, 6, 2
     data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
-    cp = params["cost"]
-    cut = lambda a: a[: H + 1]
-    params = {**params, "cost": cp._replace(
-        q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
-        Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))}
+    params = cut_reference(params, H)
     cp = params["cost"]
     dq = 0.05 * jax.random.normal(jax.random.PRNGKey(2), (B, 6))
     q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
@@ -80,17 +79,14 @@ def test_native_drone_gravity_matches_jax_engine():
     )
     from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
         build_benchmark,
+        cut_reference,
     )
     from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
     import jax
 
     H, ITERS, B = 30, 5, 2
     data, solver, params, x0, us0, _ = build_benchmark("drone_racing", True)
-    cp = params["cost"]
-    cut = lambda a: a[: H + 1]
-    params = {**params, "cost": cp._replace(
-        q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
-        Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))}
+    params = cut_reference(params, H)
     cp = params["cost"]
     dp = params["dyn"]
     dq = 0.03 * jax.random.normal(jax.random.PRNGKey(3), (B, 6))
@@ -122,6 +118,7 @@ def test_native_so3_matches_jax_engine(name, pendulum):
     )
     from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
         build_benchmark,
+        cut_reference,
     )
     from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SO3
     import jax
@@ -129,11 +126,7 @@ def test_native_so3_matches_jax_engine(name, pendulum):
     H, ITERS, B = 30, 6, 2
     data, solver, params, x0, us0, _ = build_benchmark(name, True)
     prob = data["prob"]
-    cp = params["cost"]
-    cut = lambda a: a[: H + 1]
-    params = {**params, "cost": cp._replace(
-        q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
-        Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))}
+    params = cut_reference(params, H)
     cp = params["cost"]
     dq = 0.05 * jax.random.normal(jax.random.PRNGKey(3), (B, 3))
     q0s = SO3.normalize(cp.q_ref[0][None] @ SO3.exp(dq))

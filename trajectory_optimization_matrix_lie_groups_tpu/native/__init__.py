@@ -131,6 +131,8 @@ class NativeSE3Solver:
         self.nu = 6 if self.Pu is None else int(self.Pu.shape[1])
         if self.R.shape != (self.nu, self.nu):
             raise ValueError(f"R must be ({self.nu},{self.nu})")
+        if self.Q.shape != (12, 12) or self.P.shape != (12, 12):
+            raise ValueError("Q and P must be (12,12) (pose+velocity blocks)")
 
     def _pu_ptr(self):
         return None if self.Pu is None else _ptr(self.Pu)
@@ -215,10 +217,13 @@ class NativeSO3Solver:
         self.length = float(length)
         self.g = float(g)
         self.term_quirk = bool(term_quirk)
+        self.nu = 3
         if self.J.shape != (3, 3):
             raise ValueError("J must be (3,3)")
         if self.R.shape != (3, 3):
             raise ValueError("R must be (3,3)")
+        if self.Q.shape != (6, 6) or self.P.shape != (6, 6):
+            raise ValueError("Q and P must be (6,6) (pose+velocity blocks)")
         if self.q_ref.shape[1:] != (3, 3):
             raise ValueError("q_ref must be (N+1,3,3)")
 
@@ -296,10 +301,8 @@ class NativeMPC:
         if T + H > s.N:
             raise ValueError(f"T={T} needs reference N >= {T + H}, "
                              f"have {s.N}")
-        nu = 6 if isinstance(s, NativeSE3Solver) and s.Pu is None else (
-            s.nu if isinstance(s, NativeSE3Solver) else 3)
         q, xi = _c(q0), _c(xi0)
-        us_warm = np.zeros((H, nu))
+        us_warm = np.zeros((H, s.nu))
         qs, xis, us_applied, J_pred = [q], [xi], [], []
         for t in range(T):
             us, J, _ = s.solve_window(q, xi, t, H, us_warm)

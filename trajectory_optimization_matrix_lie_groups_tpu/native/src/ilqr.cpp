@@ -181,7 +181,9 @@ void dynamics_jacobian(const ModelSE3& M, const SE3& q, const double* xi,
 }
 
 // Fu = [0; Jinv Pu] dt (state-independent for the SE(3) family,
-// models/dynamics.py:246)
+// models/dynamics.py:246) — evaluated once per solve (see fu_state_dependent)
+bool fu_state_dependent(const ModelSE3&) { return false; }
+
 void input_jacobian(const ModelSE3& M, const SE3& q, double* Fu) {
   (void)q;
   constexpr int NX = 12;
@@ -352,6 +354,8 @@ void dynamics_jacobian(const ModelSO3& M, const SO3Pose& q, const double* xi,
 
 // free: Fu = [0; Jinv] dt; pendulum: Fu = [0; Jinv hat(m rho) R^T] dt
 // (models/dynamics.py:168, traopt_dynamics.py:592-611)
+bool fu_state_dependent(const ModelSO3& M) { return M.pendulum; }
+
 void input_jacobian(const ModelSO3& M, const SO3Pose& q, double* Fu) {
   constexpr int NX = 6;
   const int nu = M.nu;  // always 3
@@ -441,10 +445,14 @@ int solve_one(const M& Mdl, int N, int iters,
   constexpr int NX = 2 * D;
   const int nu = Mdl.nu;
 
+  // state-independent Fu (SE(3) family, free SO(3) body) is evaluated once
+  // and shared by every stage; the pendulum's depends on R, so per stage
+  const bool fu_sd = fu_state_dependent(Mdl);
   std::vector<Pose> qs(N + 1), fq(N);
   std::vector<double> xis((N + 1) * D), fxi(N * D), Fx(N * NX * NX),
-      Fu(N * NX * nu), d(N * NX), lx((N + 1) * NX), lxx((N + 1) * NX * NX),
-      lu(N * nu), k(N * nu), K(N * nu * NX), l(N + 1);
+      Fu((fu_sd ? N : 1) * NX * nu), d(N * NX), lx((N + 1) * NX),
+      lxx((N + 1) * NX * NX), lu(N * nu), k(N * nu), K(N * nu * NX), l(N + 1);
+  if (!fu_sd) input_jacobian(Mdl, q0, &Fu[0]);
 
   // init: x0 + reference tail (solvers/batched.py:221)
   qs[0] = q0;
@@ -467,7 +475,7 @@ int solve_one(const M& Mdl, int N, int iters,
       pose_step(Mdl, q, xi, &fq[i]);
       twist_step(Mdl, q, xi, u, &fxi[i * D]);
       dynamics_jacobian(Mdl, q, xi, u, &Fx[i * NX * NX]);
-      input_jacobian(Mdl, q, &Fu[i * NX * nu]);
+      if (fu_sd) input_jacobian(Mdl, q, &Fu[i * NX * nu]);
       // defect d = [Log(q_{i+1}^-1 fq), fxi - xi_{i+1}]
       Pose qn_inv, Dp;
       Ops::inverse(&qn_inv, qs[i + 1]);
@@ -495,7 +503,7 @@ int solve_one(const M& Mdl, int N, int iters,
     double grad_sum = 0.0;
     for (int i = N - 1; i >= 0; --i) {
       const double* fx = &Fx[i * NX * NX];
-      const double* fu = &Fu[i * NX * nu];
+      const double* fu = &Fu[(fu_sd ? i : 0) * NX * nu];
       const double* dd = &d[i * NX];
       double Vmod[NX];
       mat_vec(Vmod, Vxx, dd, NX, NX);

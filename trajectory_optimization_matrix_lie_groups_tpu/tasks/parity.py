@@ -106,3 +106,16 @@ def build_benchmark(name, ms, dtype=jnp.float64):
     out = build_from_prob(data["prob"], spec["family"], ms,
                           tol=spec["tol"], iters=spec["iters"], dtype=dtype)
     return data, *out
+
+
+def cut_reference(params, H):
+    """Truncate a params dict's cost reference to the first H+1 entries.
+
+    Shared by tests and probe scripts that cross-check engines on a short
+    horizon slice of a benchmark problem.
+    """
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    return {**params, "cost": cp._replace(
+        q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+        Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))}

@@ -462,7 +462,7 @@ def run_dynamics_sim(args):
     # released from rest at 10 deg it swings through the hanging equilibrium:
     # tilt dips toward 0 and stays bounded near the release amplitude
     # (slight Euler energy drift allowed).
-    t0 = float(tilt[0])
+    t0 = float(jnp.linalg.norm(SO3.log(q0p)))  # release tilt (pre-scan)
     print(json.dumps(dict(
         task="dynamics_sim", N=N,
         pose_divergence_final=float(pose_div[-1]),
