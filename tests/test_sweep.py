@@ -55,3 +55,35 @@ def test_build_x0_batch_angles():
     np.testing.assert_allclose(np.asarray(q0s[0]), np.eye(4), atol=1e-12)
     # 90 deg about z maps e_x -> e_y
     np.testing.assert_allclose(np.asarray(q0s[1][:3, 0]), [0, 1, 0], atol=1e-12)
+
+
+def test_rollout_sweep_matches_serial():
+    """Batched open-loop rollout sweep == a serial per-step rollout."""
+    from trajectory_optimization_matrix_lie_groups_tpu.models import dynamics
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+    from trajectory_optimization_matrix_lie_groups_tpu.parallel.sweep import (
+        run_rollout_sweep,
+    )
+
+    J = jnp.block([
+        [jnp.diag(jnp.asarray([0.5, 0.7, 0.9])), jnp.zeros((3, 3))],
+        [jnp.zeros((3, 3)), jnp.eye(3)],
+    ])
+    dyn = dynamics.se3_dynamics()
+    dp = dynamics.se3_params(J, jnp.asarray(0.01))
+    base_q0 = se3.from_rotation_translation(
+        jnp.eye(3), jnp.asarray([1.0, 1.0, -1.0]))
+    base_xi0 = jnp.asarray([0.0, 0.0, 1.0, 0.2, 0.0, 2.0])
+    N = 50
+    values = np.asarray([0.5, 1.0, 1.5])
+    out = run_rollout_sweep(dyn, dp, {"w_z": values}, base_q0, base_xi0, N=N)
+    res = out["w_z"]
+    assert res.qs.shape == (3, N + 1, 4, 4)
+    assert np.all(np.isfinite(res.qs)) and np.all(np.isfinite(res.xis))
+
+    # serial oracle for the middle lane
+    q, xi = base_q0, base_xi0.at[2].set(1.0)
+    for i in range(N):
+        q, xi = dyn.step(dp, q, xi, jnp.zeros(6), i)
+    np.testing.assert_allclose(res.qs[1, -1], np.asarray(q), atol=1e-12)
+    np.testing.assert_allclose(res.xis[1, -1], np.asarray(xi), atol=1e-12)

@@ -87,3 +87,56 @@ def run_sweep(batch_solver: BatchSolver, params, parameter_ranges: Dict,
             converged=np.asarray(st.converged), us=np.asarray(st.us),
         )
     return out
+
+
+class RolloutSweepResult(NamedTuple):
+    param: str
+    values: np.ndarray
+    qs: np.ndarray   # (n_values, N+1, 4, 4) open-loop poses
+    xis: np.ndarray  # (n_values, N+1, 6)
+
+
+def run_rollout_sweep(dyn, dp, parameter_ranges: Dict, base_q0, base_xi0,
+                      N: int, nu: int = 6, mesh=None):
+    """Open-loop rollout sweeps (ref `visualization/rollout_all_compute.py`):
+    each sweep point rolls the dynamics N steps with zero controls from its
+    perturbed initial state.  The reference forks one joblib process per
+    point (`rollout_all_compute.py:224`, serial Python time loops inside);
+    here each parameter's whole batch is one jitted `lax.scan` with a
+    batched carry (the model step functions broadcast over the batch dim),
+    optionally sharded over a device mesh.
+    """
+    import functools
+
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def rollout(q0s, xi0s, dp_, N_):
+        zeros_u = jnp.zeros((q0s.shape[0], nu), xi0s.dtype)
+
+        def step(carry, i):
+            q, xi = carry
+            qn, xin = dyn.step(dp_, q, xi, zeros_u, i)
+            return (qn, xin), (qn, xin)
+
+        (_, _), (qs_t, xis_t) = lax.scan(step, (q0s, xi0s), jnp.arange(N_))
+        qs = jnp.concatenate([q0s[:, None], jnp.swapaxes(qs_t, 0, 1)], axis=1)
+        xis = jnp.concatenate([xi0s[:, None], jnp.swapaxes(xis_t, 0, 1)],
+                              axis=1)
+        return qs, xis
+
+    out = {}
+    for name, values in parameter_ranges.items():
+        q0s, xi0s = build_x0_batch(name, values, base_q0, base_xi0)
+        if mesh is not None:
+            shard = NamedSharding(mesh, PartitionSpec("batch"))
+            q0s = jax.device_put(q0s, shard)
+            xi0s = jax.device_put(xi0s, shard)
+        qs, xis = rollout(q0s, xi0s, dp, N)
+        out[name] = RolloutSweepResult(
+            param=name, values=np.asarray(values),
+            qs=np.asarray(qs), xis=np.asarray(xis),
+        )
+    return out

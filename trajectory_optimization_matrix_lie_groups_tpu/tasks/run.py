@@ -547,6 +547,49 @@ def run_mpc(args):
                             f"{args.plot}/mpc_trajectory.png")
 
 
+def run_rollout_sweep_task(args):
+    """Open-loop rollout sweeps (ref `visualization/rollout_all_compute.py`:
+    J=diag(.5,.7,.9)+I, dt=0.01, 14 s horizon, zero controls, 12 initial-
+    condition parameters swept one at a time)."""
+    from trajectory_optimization_matrix_lie_groups_tpu.models import dynamics
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+    from trajectory_optimization_matrix_lie_groups_tpu.parallel.sweep import (
+        run_rollout_sweep,
+    )
+
+    J = jnp.block([
+        [jnp.diag(jnp.asarray([0.5, 0.7, 0.9])), jnp.zeros((3, 3))],
+        [jnp.zeros((3, 3)), jnp.eye(3)],
+    ])
+    dt, Nsim = 0.01, 1400  # ref rollout_all_compute.py:100-101
+    dyn = dynamics.se3_dynamics()
+    dp = dynamics.se3_params(J, jnp.asarray(dt))
+    # ref base initial condition (rollout_all_compute.py:40-52)
+    base_q0 = se3.from_rotation_translation(
+        jnp.eye(3), jnp.asarray([1.0, 1.0, -1.0]))
+    base_xi0 = jnp.asarray([0.0, 0.0, 1.0, 0.2, 0.0, 2.0])
+    ranges = {
+        "th_z": np.arange(-180.0, 180.0, 10.0),
+        "w_z": np.arange(-1.0, 1.0, 0.1) + 1.0,
+        "p_z": np.arange(-6.0, 6.0, 0.5),
+        "v_x": np.arange(-4.0, 4.0, 0.25),
+    }
+    t0 = time.perf_counter()
+    out = run_rollout_sweep(dyn, dp, ranges, base_q0, base_xi0, N=Nsim)
+    wall = time.perf_counter() - t0
+    total = sum(len(v.values) for v in out.values())
+    print(json.dumps(dict(
+        task="rollout_sweep", n_rollouts=total, steps=Nsim,
+        wall_s=round(wall, 2),
+        params={k: dict(
+            n=len(v.values),
+            all_finite=bool(np.all(np.isfinite(v.qs))
+                            and np.all(np.isfinite(v.xis))),
+            final_pos_spread=float(
+                np.ptp(v.qs[:, -1, :3, 3], axis=0).max()),
+        ) for k, v in out.items()})))
+
+
 def run_mpc_native(args):
     """Closed-loop MPC on the native C++ runtime (no TPU/JAX device in the
     loop): the deployable-controller counterpart of the `mpc` task, same
@@ -806,6 +849,7 @@ TASKS = {
     "mpc_batch": run_mpc_batch,
     "benchmark_compare": run_benchmark_compare,
     "sweep": run_sweep_task,
+    "rollout_sweep": run_rollout_sweep_task,
 }
 
 
