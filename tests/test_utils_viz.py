@@ -97,3 +97,43 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(back["al"].lmbd),
                                   np.ones((3, 4)))
     assert float(back["al"].mu) == 0.5
+
+
+def test_interactive_viewers(tmp_path):
+    """Slider viewers construct and scrub headlessly; animation writes a gif."""
+    import jax.numpy as jnp
+
+    from trajectory_optimization_matrix_lie_groups_tpu.models import dynamics
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+    from trajectory_optimization_matrix_lie_groups_tpu.parallel.sweep import (
+        SweepResult,
+        run_rollout_sweep,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.viz import interactive
+
+    J = jnp.eye(6)
+    dyn = dynamics.se3_dynamics()
+    dp = dynamics.se3_params(J, jnp.asarray(0.01))
+    base_q0 = se3.from_rotation_translation(jnp.eye(3), jnp.zeros(3))
+    base_xi0 = jnp.asarray([0.0, 0.0, 1.0, 1.0, 0.0, 0.0])
+    out = run_rollout_sweep(dyn, dp, {"w_z": np.asarray([0.5, 1.0, 1.5])},
+                            base_q0, base_xi0, N=20)
+    res = out["w_z"]
+
+    fig, slider, update = interactive.rollout_slider(res)
+    update(2)  # programmatic scrub must not raise
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+    sw = SweepResult(param="w_z", values=res.values,
+                     J_opt=np.asarray([3.0, 2.0, 4.0]),
+                     grad_norm=np.zeros(3), converged=np.ones(3, bool),
+                     us=np.random.default_rng(0).normal(size=(3, 20, 6)))
+    fig2, s2, u2 = interactive.sweep_slider(sw)
+    u2(1)
+    plt.close(fig2)
+
+    gif = str(tmp_path / "sweep.gif")
+    interactive.rollout_animation(res, gif)
+    import os
+    assert os.path.getsize(gif) > 0
