@@ -190,3 +190,60 @@ def test_native_mpc_matches_jax_closed_loop():
     # J conventions differ by one rollout (post-rollout vs linearization
     # point); see scripts/probe_native_mpc.py
     np.testing.assert_allclose(J_pred, np.asarray(ref.J_pred), rtol=1e-4)
+
+
+def test_native_al_matches_al_fast():
+    """Native AL outer loop (input box) == ALFastSolver at f64."""
+    from trajectory_optimization_matrix_lie_groups_tpu.models import (
+        constraints as cs,
+        costs,
+        dynamics,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.models.base import (
+        make_model,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_fast import (
+        ALFastSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import (
+        FastBatchSolver,
+    )
+    import jax
+
+    data = bench.load_benchmark_pickle(bench.PKL)
+    prob = data["prob"]
+    H, B, ITERS = 40, 2, 20
+    q_ref = jnp.asarray(np.asarray(prob["q_ref"])[: H + 1])
+    xi_ref = jnp.asarray(np.asarray(prob["xi_ref"])[: H + 1].reshape(H + 1, 6))
+    dyn = dynamics.se3_dynamics()
+    dp = dynamics.se3_params(jnp.asarray(prob["J"]), float(prob["dt"]))
+    cd = costs.tracking_cost(SE3, 6)
+    cp = costs.tracking_cost_params(SE3, prob["Q"], prob["R"], prob["P"],
+                                    q_ref, xi_ref)
+    dq = 0.03 * jax.random.normal(jax.random.PRNGKey(2), (B, 6))
+    q0s = SE3.normalize(q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(xi_ref[0], (B, 6)) + 0.05
+    us0 = jnp.zeros((B, H, 6))
+    lb, ub = -100.0, 100.0
+
+    constr = cs.input_box(12, 6)
+    al_cd = costs.al_cost(cd, constr)
+    model_c, _ = make_model(dyn, al_cd, dp, None)
+    alp = costs.al_init_params(cp, cs.input_box_params(lb, ub, 6), H,
+                               constr.constr_size, mu0=1e-2)
+    inner = FastBatchSolver(model_c, N=H, iterations=ITERS, use_pallas=False)
+    ref = ALFastSolver(inner, constr, tol_constr=1e-2).solve(
+        {"dyn": dp, "cost": alp}, q0s, xi0s, us0,
+        q_ref=q_ref, xi_ref=xi_ref, n_al_iters=15)
+
+    s = native.NativeSE3Solver(prob["J"], prob["dt"], prob["Q"], prob["R"],
+                               prob["P"], np.asarray(q_ref),
+                               np.asarray(xi_ref), iterations=ITERS)
+    us, J, g, maxv, outer = s.solve_al(np.asarray(q0s), np.asarray(xi0s),
+                                       lb, ub, n_al_iters=15)
+    assert outer == ref.outer_iterations
+    np.testing.assert_allclose(us, np.asarray(ref.us), atol=1e-8)
+    np.testing.assert_allclose(maxv, np.asarray(ref.max_violation),
+                               atol=1e-9)
+    assert us.max() <= ub + 1e-2 and us.min() >= lb - 1e-2

@@ -79,6 +79,13 @@ def _load():
         dp, ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_int, dp, dp, dp, dp, dp, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp]
+    lib.traopt_rb_al_ms_ilqr_solve_batch.restype = ctypes.c_int
+    lib.traopt_rb_al_ms_ilqr_solve_batch.argtypes = [
+        dp, ctypes.c_double, ctypes.c_double, dp, ctypes.c_int, dp, dp, dp,
+        dp, dp, ctypes.c_int, ctypes.c_int,
+        dp, dp, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        dp, dp, dp, dp, dp, dp, ctypes.POINTER(ctypes.c_int)]
     lib.traopt_rb_step.restype = ctypes.c_int
     lib.traopt_rb_step.argtypes = [
         dp, ctypes.c_double, ctypes.c_double, dp, ctypes.c_int,
@@ -168,6 +175,37 @@ class NativeSE3Solver:
                            self.nu, _ptr(_c(q)), _ptr(_c(xi)), _ptr(_c(u)),
                            _ptr(q_out), _ptr(xi_out))
         return q_out, xi_out
+
+    def solve_al(self, q0s, xi0s, lb, ub, us0=None, n_al_iters=10,
+                 mu0=1e-2, mu_scale=10.0, mu_max=1e8, tol_constr=1e-2):
+        """Input-constrained batch solve (lb <= u <= ub, elementwise).
+
+        Augmented-Lagrangian outer loop entirely in C (the native twin of
+        `solvers.al_fast.ALFastSolver`, ref AL_iLQR_Tracking_SE3_MS).
+        Returns (us (B,N,nu), J (B,), grad (B,), max_violation (B,),
+        outer_iterations).
+        """
+        q0s = _c(q0s)
+        B = q0s.shape[0]
+        lb = np.broadcast_to(np.asarray(lb, np.float64), (self.nu,)).copy()
+        ub = np.broadcast_to(np.asarray(ub, np.float64), (self.nu,)).copy()
+        us = (_c(us0).copy() if us0 is not None
+              else np.zeros((B, self.N, self.nu)))
+        J_out = np.zeros(B)
+        g_out = np.zeros(B)
+        maxv = np.zeros(B)
+        outer = ctypes.c_int(0)
+        rc = LIB.traopt_rb_al_ms_ilqr_solve_batch(
+            _ptr(self.J), self.dt, self.g, self._pu_ptr(), self.nu,
+            _ptr(self.Q), _ptr(self.R), _ptr(self.P),
+            _ptr(self.q_ref), _ptr(self.xi_ref), self.N, self.iterations,
+            _ptr(lb), _ptr(ub), int(n_al_iters), float(mu0), float(mu_scale),
+            float(mu_max), float(tol_constr), B,
+            _ptr(q0s), _ptr(_c(xi0s)), _ptr(us), _ptr(J_out), _ptr(g_out),
+            _ptr(maxv), ctypes.byref(outer))
+        if rc:
+            raise RuntimeError(f"native AL solve failed (rc={rc})")
+        return us, J_out, g_out, maxv, int(outer.value)
 
     def solve_batch(self, q0s, xi0s, us0=None):
         """B independent problems: returns (us (B,N,nu), J (B,), grad (B,))."""

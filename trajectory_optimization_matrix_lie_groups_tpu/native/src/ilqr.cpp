@@ -435,10 +435,21 @@ void cost_quad_term(const ModelSO3& M, const SO3Pose& q, const double* xi,
 
 // ---- group-generic MS-iLQR (fixed budget, mu = 0) ---------------------------
 
+// Optional augmented-Lagrangian input-box terms (models/constraints.py:
+// g = [lb - u; u - ub] <= 0, terminal g = 0; models/costs.al_cost):
+// l += lam.g + 1/2 g.Imu.g, lu += gu^T(lam + Imu g), luu += gu^T Imu gu
+// with diagonal Imu, so only the u-blocks of the quadratization change.
+struct ALBox {
+  const double* lb;    // (nu)
+  const double* ub;    // (nu)
+  const double* lmbd;  // (N+1, 2 nu) multipliers, [lo | hi] per stage
+  const double* imu;   // (N+1, 2 nu) diagonal active-set penalties
+};
+
 template <class M>
 int solve_one(const M& Mdl, int N, int iters,
               const typename M::Ops::Pose& q0, const double* xi0, double* us,
-              double* J_out, double* grad_out) {
+              double* J_out, double* grad_out, const ALBox* al = nullptr) {
   using Ops = typename M::Ops;
   using Pose = typename Ops::Pose;
   constexpr int D = Ops::D;
@@ -463,6 +474,8 @@ int solve_one(const M& Mdl, int N, int iters,
   }
   double Luu[NU_MAX * NU_MAX];
   for (int i = 0; i < nu * nu; ++i) Luu[i] = 2.0 * Mdl.R[i];
+  // per-stage diagonal Quu additions from the AL penalty (Imu varies by stage)
+  std::vector<double> luu_al(al ? N * nu : 0);
 
   double J_total = 0.0, grad_mean = 0.0;
   for (int it = 0; it < iters; ++it) {
@@ -489,6 +502,20 @@ int solve_one(const M& Mdl, int N, int iters,
       for (int a = 0; a < nu; ++a) {
         lu[i * nu + a] = 2.0 * Ru[a];
         l[i] += u[a] * Ru[a];
+      }
+      if (al) {
+        const double* lm = al->lmbd + i * 2 * nu;
+        const double* im = al->imu + i * 2 * nu;
+        for (int a = 0; a < nu; ++a) {
+          double glo = al->lb[a] - u[a];
+          double ghi = u[a] - al->ub[a];
+          l[i] += lm[a] * glo + lm[nu + a] * ghi +
+                  0.5 * (im[a] * glo * glo + im[nu + a] * ghi * ghi);
+          // gu rows: lo -> -e_a, hi -> +e_a
+          lu[i * nu + a] += -(lm[a] + im[a] * glo) +
+                            (lm[nu + a] + im[nu + a] * ghi);
+          luu_al[i * nu + a] = im[a] + im[nu + a];
+        }
       }
       J_total += l[i];
     }
@@ -530,6 +557,8 @@ int solve_one(const M& Mdl, int N, int iters,
       mat_mul(Quu, fuT, VFu, nu, NX, nu);
       for (int a = 0; a < NX * NX; ++a) Qxx[a] += lxx[i * NX * NX + a];
       for (int a = 0; a < nu * nu; ++a) Quu[a] += Luu[a];
+      if (al)
+        for (int a = 0; a < nu; ++a) Quu[a * nu + a] += luu_al[i * nu + a];
       double* k_i = &k[i * nu];
       double* K_i = &K[i * nu * NX];
       if (!chol_solve(K_i, Quu, Qux, nu, NX)) return 1;
@@ -829,6 +858,90 @@ int traopt_so3_ms_ilqr_solve_batch(const double* J3, double dt, int pendulum,
     if (r1 > rc) rc = r1;
   }
   return rc;
+}
+
+// Augmented-Lagrangian outer loop around the SE(3)-family batch solver with
+// input box constraints lb <= u <= ub (ref AL_iLQR_Tracking_SE3_MS,
+// traopt_controller.py:3139-3293; same iterate sequence as
+// solvers/al_fast.ALFastSolver: per-problem multipliers, inner solves
+// restarting from the caller's us each outer iteration, first-order
+// multiplier ascent + active-set penalty rebuild, collective stop when every
+// problem's max violation < tol).  us is in/out; maxv_outs (B) gets each
+// problem's final max violation; *outer_out the outer iterations used.
+int traopt_rb_al_ms_ilqr_solve_batch(
+    const double* J6, double dt, double g, const double* Pu, int nu,
+    const double* Q12, const double* Rnu, const double* P12,
+    const double* q_ref, const double* xi_ref, int N, int iters,
+    const double* lb, const double* ub, int n_al_iters, double mu0,
+    double mu_scale, double mu_max, double tol, int B,
+    const double* q0s_16, const double* xi0s, double* us, double* J_outs,
+    double* grad_outs, double* maxv_outs, int* outer_out) {
+  traopt::ModelSE3 M;
+  traopt::build_model(&M, J6, dt, g, Pu, nu, Q12, Rnu, P12, q_ref, xi_ref, N);
+  const int C = 2 * nu;
+  std::vector<double> lmbd((size_t)B * (N + 1) * C, 0.0);
+  std::vector<double> imu((size_t)B * (N + 1) * C, mu0);
+  std::vector<double> mu(B, mu0);
+  std::vector<double> us0(us, us + (size_t)B * N * nu);
+  int rc = 0, outer = 0;
+  for (outer = 1; outer <= n_al_iters; ++outer) {
+#pragma omp parallel for schedule(dynamic) reduction(max : rc)
+    for (int b = 0; b < B; ++b) {
+      traopt::SE3 q0;
+      const double* T = q0s_16 + b * 16;
+      for (int r = 0; r < 3; ++r) {
+        for (int c = 0; c < 3; ++c) q0.R[r * 3 + c] = T[r * 4 + c];
+        q0.p[r] = T[r * 4 + 3];
+      }
+      std::memcpy(us + (size_t)b * N * nu, &us0[(size_t)b * N * nu],
+                  (size_t)N * nu * sizeof(double));
+      traopt::ALBox al{lb, ub, &lmbd[(size_t)b * (N + 1) * C],
+                       &imu[(size_t)b * (N + 1) * C]};
+      int r1 = traopt::solve_one(M, N, iters, q0, xi0s + b * 6,
+                                 us + (size_t)b * N * nu,
+                                 J_outs ? J_outs + b : nullptr,
+                                 grad_outs ? grad_outs + b : nullptr, &al);
+      if (r1 > rc) rc = r1;
+    }
+    if (rc) return rc;
+    // per-problem max violation; terminal g = 0 so the max is >= 0
+    double maxv_all = 0.0;
+    for (int b = 0; b < B; ++b) {
+      double mv = 0.0;
+      for (int i = 0; i < N; ++i)
+        for (int a = 0; a < nu; ++a) {
+          double u = us[((size_t)b * N + i) * nu + a];
+          if (lb[a] - u > mv) mv = lb[a] - u;
+          if (u - ub[a] > mv) mv = u - ub[a];
+        }
+      maxv_outs[b] = mv;
+      if (mv > maxv_all) maxv_all = mv;
+    }
+    if (maxv_all < tol) break;
+    // lmbd <- clip(lmbd + Imu g, 0, inf); mu <- min(mu*scale, mu_max);
+    // Imu <- (g < 0 and lmbd == 0) ? 0 : mu   (models/costs.al_update_params)
+    for (int b = 0; b < B; ++b) {
+      double mu_new = std::min(mu[b] * mu_scale, mu_max);
+      for (int i = 0; i <= N; ++i)
+        for (int c = 0; c < C; ++c) {
+          size_t idx = ((size_t)b * (N + 1) + i) * C + c;
+          double gval = 0.0;
+          if (i < N) {
+            int a = c % nu;
+            double u = us[((size_t)b * N + i) * nu + a];
+            gval = (c < nu) ? lb[a] - u : u - ub[a];
+          }
+          double lnew = lmbd[idx] + imu[idx] * gval;
+          if (lnew < 0.0) lnew = 0.0;
+          lmbd[idx] = lnew;
+          imu[idx] = (gval < 0.0 && lnew == 0.0) ? 0.0 : mu_new;
+        }
+      mu[b] = mu_new;
+    }
+  }
+  if (outer > n_al_iters) outer = n_al_iters;
+  if (outer_out) *outer_out = outer;
+  return 0;
 }
 
 // One SE(3)-family plant step (semi-implicit Euler, pose renormalized):
