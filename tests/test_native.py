@@ -247,3 +247,37 @@ def test_native_al_matches_al_fast():
     np.testing.assert_allclose(maxv, np.asarray(ref.max_violation),
                                atol=1e-9)
     assert us.max() <= ub + 1e-2 and us.min() >= lb - 1e-2
+
+
+def test_native_mpc_constrained():
+    """NativeMPC with input bounds: box respected, tracking preserved."""
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    data, _, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    prob = data["prob"]
+    cp = params["cost"]
+    H, T = 30, 25
+    s = native.NativeSE3Solver(prob["J"], prob["dt"], prob["Q"], prob["R"],
+                               prob["P"], np.asarray(cp.q_ref),
+                               np.asarray(cp.xi_ref), iterations=4)
+    q0 = np.asarray(SE3.normalize(cp.q_ref[0] @ SE3.exp(
+        jnp.asarray([0.05, -0.03, 0.08, 0.3, -0.2, 0.25]))))
+    xi0 = np.asarray(cp.xi_ref[0])
+
+    _, _, us_u, _ = native.NativeMPC(s, H).run(q0, xi0, T)
+    lb, ub = -300.0, 300.0
+    assert np.abs(us_u).max() > ub, "bounds not exercised unconstrained"
+
+    qs_c, _, us_c, _ = native.NativeMPC(s, H, lb=lb, ub=ub).run(q0, xi0, T)
+    assert us_c.max() <= ub + 1e-2 and us_c.min() >= lb - 1e-2
+    err_c = np.linalg.norm(np.asarray(se3.log(
+        se3.inverse(jnp.asarray(cp.q_ref[: T + 1])) @ jnp.asarray(qs_c))),
+        axis=-1)
+    # with the box active the reference is not trackable at the
+    # unconstrained rate: require bounded error, not contraction
+    assert err_c[-1] < 2.5 * err_c[0]
+    assert np.all(np.isfinite(us_c))

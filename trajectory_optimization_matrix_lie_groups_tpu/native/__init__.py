@@ -185,12 +185,23 @@ class NativeSE3Solver:
         Returns (us (B,N,nu), J (B,), grad (B,), max_violation (B,),
         outer_iterations).
         """
+        return self.solve_al_window(q0s, xi0s, lb, ub, 0, self.N, us0,
+                                    n_al_iters, mu0, mu_scale, mu_max,
+                                    tol_constr)
+
+    def solve_al_window(self, q0s, xi0s, lb, ub, t, H, us0=None,
+                        n_al_iters=10, mu0=1e-2, mu_scale=10.0, mu_max=1e8,
+                        tol_constr=1e-2):
+        """Constrained solve over the (H+1)-entry window starting at step t."""
+        if t + H > self.N:
+            raise ValueError(f"window [{t}, {t + H}] exceeds reference "
+                             f"(N={self.N})")
         q0s = _c(q0s)
         B = q0s.shape[0]
         lb = np.broadcast_to(np.asarray(lb, np.float64), (self.nu,)).copy()
         ub = np.broadcast_to(np.asarray(ub, np.float64), (self.nu,)).copy()
         us = (_c(us0).copy() if us0 is not None
-              else np.zeros((B, self.N, self.nu)))
+              else np.zeros((B, H, self.nu)))
         J_out = np.zeros(B)
         g_out = np.zeros(B)
         maxv = np.zeros(B)
@@ -198,7 +209,7 @@ class NativeSE3Solver:
         rc = LIB.traopt_rb_al_ms_ilqr_solve_batch(
             _ptr(self.J), self.dt, self.g, self._pu_ptr(), self.nu,
             _ptr(self.Q), _ptr(self.R), _ptr(self.P),
-            _ptr(self.q_ref), _ptr(self.xi_ref), self.N, self.iterations,
+            _ptr(self.q_ref[t:]), _ptr(self.xi_ref[t:]), H, self.iterations,
             _ptr(lb), _ptr(ub), int(n_al_iters), float(mu0), float(mu_scale),
             float(mu_max), float(tol_constr), B,
             _ptr(q0s), _ptr(_c(xi0s)), _ptr(us), _ptr(J_out), _ptr(g_out),
@@ -327,11 +338,23 @@ class NativeMPC:
     solves the H-window starting at that step (zero-copy contiguous views).
     """
 
-    def __init__(self, solver, H: int):
+    def __init__(self, solver, H: int, lb=None, ub=None, n_al_iters=8,
+                 mu0=1e-2, tol_constr=1e-2):
+        """With `lb`/`ub` set, every window solve runs the AL input-box
+        outer loop (SE(3)-family solvers only) — constrained embedded MPC."""
         if solver.N < H + 1:
             raise ValueError("reference shorter than one MPC window")
+        if (lb is None) != (ub is None):
+            raise ValueError("set both lb and ub or neither")
+        if lb is not None and not isinstance(solver, NativeSE3Solver):
+            raise ValueError("input constraints: SE(3)-family solvers only")
         self.solver = solver
         self.H = H
+        self.lb = lb
+        self.ub = ub
+        self.n_al_iters = n_al_iters
+        self.mu0 = mu0
+        self.tol_constr = tol_constr
 
     def run(self, q0, xi0, T: int):
         """T closed-loop plant steps; returns (qs, xis, us, J_pred)."""
@@ -343,7 +366,14 @@ class NativeMPC:
         us_warm = np.zeros((H, s.nu))
         qs, xis, us_applied, J_pred = [q], [xi], [], []
         for t in range(T):
-            us, J, _ = s.solve_window(q, xi, t, H, us_warm)
+            if self.lb is not None:
+                us_b, J_b, _, _, _ = s.solve_al_window(
+                    q[None], xi[None], self.lb, self.ub, t, H, us_warm[None],
+                    n_al_iters=self.n_al_iters, mu0=self.mu0,
+                    tol_constr=self.tol_constr)
+                us, J = us_b[0], float(J_b[0])
+            else:
+                us, J, _ = s.solve_window(q, xi, t, H, us_warm)
             u0 = us[0]
             q, xi = s.step(q, xi, u0)
             us_warm = np.concatenate([us[1:], us[-1:]], axis=0)
