@@ -1,0 +1,92 @@
+"""Input-box constrained solves on the fused lane-layout Pallas pipeline.
+
+`ALFastSolver` runs the augmented-Lagrangian outer loop around the 3-kernel
+`FastBatchSolver`; this module runs the same outer loop around the 2-kernel
+`PallasPipelineSolver` — constrained MPC at the headline pipeline
+throughput.  The AL terms enter the pipeline cheaply: the u-gradient
+additions ride the `lu` XLA glue already computed between the two kernels,
+and the penalty's diagonal Quu addition is one extra gridded input to the
+Riccati kernel (`solvers/pipeline.py::_riccati_kernel_const`, ``al=True``).
+
+Iterate-for-iterate identical to `ALFastSolver` with the same inner budget
+(tests/test_al_pipeline.py): multipliers are per problem, inner solves
+restart from the caller's ``us0`` each outer iteration (ref
+traopt_controller.py:3237), and the update is the reference's first-order
+ascent + active-set penalty rebuild (traopt_controller.py:3270-3290) with a
+diagonal-Imu representation.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
+    PallasPipelineSolver,
+)
+
+
+class ALPipelineResult(NamedTuple):
+    qs: jnp.ndarray           # (B, N+1, 4, 4)
+    xis: jnp.ndarray          # (B, N+1, 6)
+    us: jnp.ndarray           # (B, N, nu)
+    J_opt: jnp.ndarray        # (B,) augmented cost at last linearization
+    lmbd: jnp.ndarray         # (B, N+1, 2nu) final multipliers
+    max_violation: jnp.ndarray  # (B,)
+    outer_iterations: int
+    constr_converged: bool
+
+
+class ALPipelineSolver:
+    """AL outer loop around a PallasPipelineSolver (input box lb <= u <= ub)."""
+
+    def __init__(self, pipe: PallasPipelineSolver, lb, ub,
+                 mu0=1e-2, mu_scale=10.0, mu_max=1e8, tol_constr=1e-2):
+        self.pipe = pipe
+        self.lb = np.asarray(lb, np.float64)
+        self.ub = np.asarray(ub, np.float64)
+        self.mu0 = mu0
+        self.mu_scale = mu_scale
+        self.mu_max = mu_max
+        self.tol_constr = tol_constr
+
+    def _violation(self, us):
+        glo = self.lb[None, None] - us
+        ghi = us - self.ub[None, None]
+        g = jnp.concatenate([glo, ghi], axis=-1)  # (B, N, 2nu)
+        # terminal g = 0 (models/constraints.py:38) -> max is >= 0
+        return jnp.maximum(jnp.max(g, axis=(1, 2)), 0.0), g
+
+    def solve(self, dyn, cost, q0s, xi0s, us0, n_al_iters=10):
+        B, N = us0.shape[0], us0.shape[1]
+        nu = us0.shape[-1]
+        C = 2 * nu
+        lb = jnp.asarray(self.lb)
+        ub = jnp.asarray(self.ub)
+        lmbd = jnp.zeros((B, N + 1, C))
+        imu = jnp.full((B, N + 1, C), self.mu0)
+        mu = jnp.full((B,), self.mu0)
+        st = None
+        maxv = None
+        converged = False
+        outer = 0
+        for outer in range(n_al_iters):
+            st = self.pipe.solve(dyn, cost, q0s, xi0s, us0,
+                                 al=(lb, ub, lmbd, imu))
+            maxv, g_stage = self._violation(st.us)
+            converged = bool(np.max(np.asarray(maxv)) < self.tol_constr)
+            if converged:
+                break
+            # first-order ascent + active-set rebuild (diagonal Imu), with
+            # terminal g = 0 appended (multiplier there stays, Imu -> mu)
+            g = jnp.concatenate(
+                [g_stage, jnp.zeros((B, 1, C), g_stage.dtype)], axis=1)
+            lmbd = jnp.clip(lmbd + imu * g, 0.0, None)
+            mu = jnp.minimum(mu * self.mu_scale, self.mu_max)
+            imu = jnp.where((g < 0.0) & (lmbd == 0.0), 0.0,
+                            mu[:, None, None])
+        return ALPipelineResult(
+            qs=st.qs, xis=st.xis, us=st.us, J_opt=st.J_opt, lmbd=lmbd,
+            max_violation=maxv, outer_iterations=outer + 1,
+            constr_converged=converged,
+        )

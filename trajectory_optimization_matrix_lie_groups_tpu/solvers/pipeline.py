@@ -63,11 +63,19 @@ def _cross(a, b):
 # -- Riccati backward, const-Fu/Luu specialization ---------------------------
 
 def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
-                          qRN_ref, qpN_ref, xiN_ref, RbiRN_ref, RbipN_ref,
-                          AdbN_ref, xibN_ref, W1N_ref, W2N_ref,
-                          Fu_ref, Luu_ref,
-                          k_ref, K_ref, gvec_ref, lN_ref, Vx_s, Vxx_s,
-                          *, nu=NU, chunk=1, glow=False):
+                          *rest, nu=NU, chunk=1, glow=False, al=False):
+    # ``al``: one extra gridded input (N, nu, B) of per-stage diagonal Quu
+    # additions — the input-box AL penalty gu^T Imu gu (solvers/al_fast.py);
+    # the matching lu additions ride in lu_ref (added as XLA glue).
+    if al:
+        (luual_ref, qRN_ref, qpN_ref, xiN_ref, RbiRN_ref, RbipN_ref,
+         AdbN_ref, xibN_ref, W1N_ref, W2N_ref, Fu_ref, Luu_ref,
+         k_ref, K_ref, gvec_ref, lN_ref, Vx_s, Vxx_s) = rest
+    else:
+        luual_ref = None
+        (qRN_ref, qpN_ref, xiN_ref, RbiRN_ref, RbipN_ref,
+         AdbN_ref, xibN_ref, W1N_ref, W2N_ref, Fu_ref, Luu_ref,
+         k_ref, K_ref, gvec_ref, lN_ref, Vx_s, Vxx_s) = rest
     # grid = (batch_tiles, N // chunk): the stage recursion rides dim 1 and
     # each grid step processes ``chunk`` stages from one VMEM block (fewer,
     # larger HBM<->VMEM transfers + less per-step grid overhead); a fresh
@@ -119,6 +127,12 @@ def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
         Qux = pll.matmul(fu2T, VF[6:], 6)                   # Lux = 0
         Quu = Luu + pll.matmul(fu2T,
                                pll.matmul(Vxx[6:, 6:], fu2, 6), 6)
+        if luual_ref is not None:
+            # diagonal AL penalty add via a one-hot mask (Mosaic: no scatter)
+            r_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 0)
+            c_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 1)
+            eye = (r_i == c_i).astype(Quu.dtype)
+            Quu = Quu + eye * luual_ref[t][:, None, :]
 
         # lane-batched nu x nu Cholesky + solves (unrolled)
         L = [[None] * nu for _ in range(nu)]
@@ -408,10 +422,12 @@ class PallasPipelineSolver:
           consts["W2"], consts["Pu"], consts["mg"])
         return dict(fqR=fqR, fqp=fqp, fxi=fxi, d=d, Fx=Fx, lx=lx, lxx=lxx, l=l)
 
-    def _backward_lane(self, lin, lu, term, consts):
+    def _backward_lane(self, lin, lu, term, consts, luu_al=None):
         """``term``: lane-layout terminal state + references, consumed by the
         in-kernel terminal quadratization at each batch tile's first grid
-        step: (qRN, qpN, xiN, RbiRN, RbipN, AdbN, xibN, W1N, W2N)."""
+        step: (qRN, qpN, xiN, RbiRN, RbipN, AdbN, xibN, W1N, W2N).
+        ``luu_al``: optional (N, nu, B) per-stage diagonal Quu additions
+        (input-box AL penalty)."""
         N = self.N
         dtp = lu.dtype
         B = lu.shape[-1]
@@ -433,6 +449,8 @@ class PallasPipelineSolver:
                                 lambda b, i, r=r: (0,) * (r - 1) + (b,))
 
         ins = [lin["Fx"], lin["d"], lin["lx"], lu, lin["lxx"]]
+        if luu_al is not None:
+            ins.append(luu_al)
         in_specs = [spec(a) for a in ins] + \
             [cspec(a) for a in term] + \
             [cspec(consts["Fu"]), cspec(consts["Luu"])]
@@ -446,7 +464,7 @@ class PallasPipelineSolver:
             (pl.BlockSpec((1, 1, bt), lambda b, i: (0, 0, b)),)
         k, K, gvec, lN = pl.pallas_call(
             functools.partial(_riccati_kernel_const, nu=nu, chunk=ck,
-                              glow=self.gravity),
+                              glow=self.gravity, al=luu_al is not None),
             grid=(nb, nc), out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((NX, bt), dtp),
@@ -614,12 +632,24 @@ class PallasPipelineSolver:
         us = jnp.moveaxis(us0, 0, -1)  # (N, 6, B)
         return qR, qp, xi, us, refs, consts
 
-    def _solve(self, dyn, cost, q0s, xi0s, us0):
-        """dyn: SE3Params; cost: TrackingCostParams; solver-layout inputs."""
+    def _solve(self, dyn, cost, q0s, xi0s, us0, al=None):
+        """dyn: SE3Params; cost: TrackingCostParams; solver-layout inputs.
+
+        ``al``: optional input-box AL state (lb (nu,), ub (nu,),
+        lmbd (B, N+1, 2nu), imu (B, N+1, 2nu) diagonal penalties) — adds the
+        augmented-Lagrangian u-terms to every backward pass (the terminal
+        box constraint is identically zero, models/constraints.py:38)."""
         B = q0s.shape[0]
         N = self.N
         dtp = us0.dtype
         qR, qp, xi, us, refs, consts = self._prepare(dyn, cost, q0s, xi0s, us0)
+        if al is not None:
+            lb_a, ub_a, lmbd_a, imu_a = al
+            lam_l = jnp.moveaxis(lmbd_a, 0, -1)  # (N+1, 2nu, B)
+            imu_l = jnp.moveaxis(imu_a, 0, -1)
+            nu = us0.shape[-1]
+            al = (jnp.asarray(lb_a, dtp), jnp.asarray(ub_a, dtp),
+                  lam_l.astype(dtp), imu_l.astype(dtp), nu)
         lanes66 = lambda M: jnp.broadcast_to(
             jnp.asarray(M, dtp)[..., None], jnp.asarray(M).shape + (B,))
         ref = lambda x: jnp.moveaxis(
@@ -636,13 +666,29 @@ class PallasPipelineSolver:
 
         def backward_metrics(qR, qp, xi, us, lin):
             lu = 2.0 * jnp.einsum("ij,njb->nib", cost.R.astype(dtp), us)
+            luu_al = None
+            J_al = jnp.zeros((B,), dtp)
+            if al is not None:
+                lb_a, ub_a, lam_l, imu_l, nu = al
+                lam_lo, lam_hi = lam_l[:-1, :nu], lam_l[:-1, nu:]
+                im_lo, im_hi = imu_l[:-1, :nu], imu_l[:-1, nu:]
+                glo = lb_a[None, :, None] - us
+                ghi = us - ub_a[None, :, None]
+                lu = lu - (lam_lo + im_lo * glo) + (lam_hi + im_hi * ghi)
+                luu_al = im_lo + im_hi
+                J_al = jnp.sum(
+                    lam_lo * glo + lam_hi * ghi
+                    + 0.5 * (im_lo * glo * glo + im_hi * ghi * ghi),
+                    axis=(0, 1))
             term = (qR[-1], qp[-1], xi[-1], RbiR_N, Rbip_N, Adb_N, xib_N,
                     W1N, W2N)
-            k, K, gvec, lN = self._backward_lane(lin, lu, term, consts)
+            k, K, gvec, lN = self._backward_lane(lin, lu, term, consts,
+                                                 luu_al=luu_al)
             # gvec_t = lu + Fu^T (V_x[t+1] + V_xx[t+1] d[t]) from the kernel
             g = jnp.mean(jnp.sqrt(jnp.sum(gvec * gvec, axis=1)), axis=0)
             J = jnp.sum(lin["l"][:, 0, :], axis=0) + \
-                jnp.einsum("nib,ij,njb->b", us, cost.R.astype(dtp), us) + lN
+                jnp.einsum("nib,ij,njb->b", us, cost.R.astype(dtp), us) + \
+                lN + J_al
             return k, K, J, g
 
         if self.fused:
@@ -683,6 +729,6 @@ class PallasPipelineSolver:
         return PipelineState(qs=qs, xis=bk(xi), us=bk(us), J_opt=J,
                              grad_norm=g)
 
-    def solve(self, dyn, cost, q0s, xi0s, us0):
+    def solve(self, dyn, cost, q0s, xi0s, us0, al=None):
         return self._solve_jit(dyn, cost, jnp.asarray(q0s), jnp.asarray(xi0s),
-                               jnp.asarray(us0))
+                               jnp.asarray(us0), al)
