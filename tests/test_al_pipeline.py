@@ -82,3 +82,72 @@ def test_al_pipeline_matches_al_fast():
                                np.asarray(ref.max_violation), atol=2e-4)
     assert float(res.us.max()) <= ub + 1e-1
     assert float(res.us.min()) >= lb - 1e-1
+
+
+@pytest.mark.parity
+def test_constrained_batch_mpc_matches_host_loop():
+    """make_closed_loop_batch_constrained == a host loop of the same fixed
+    AL outer iterations around pipe._solve, windows sliced by hand."""
+    from trajectory_optimization_matrix_lie_groups_tpu.models.base import (
+        LieModel,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.mpc import (
+        _window,
+        make_closed_loop_batch_constrained,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    H, T, B, ITERS, NAL = 10, 4, 2, 4, 3
+    data, solver, params, x0, us0_full, _ = build_benchmark(
+        "se3_tracking", True, dtype=jnp.float32)
+    dp = params["dyn"]
+    cp = params["cost"]
+    model = solver.model
+    lb, ub = -80.0, 80.0
+
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(4), (B, 6), jnp.float32)
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6)) + jnp.float32(0.3)
+
+    pipe = PallasPipelineSolver(N=H, iterations=ITERS,
+                                dt=float(data["prob"]["dt"]),
+                                interpret=jax.default_backend() != "tpu")
+    run = make_closed_loop_batch_constrained(pipe, model, T, lb, ub,
+                                             n_al_iters=NAL)
+    res, maxv = run(dp, cp, q0s, xi0s)
+    assert res.us.shape == (B, T, 6)
+    # applied controls saturate at the box
+    assert float(res.us.max()) <= ub + 1e-4
+    assert float(res.us.min()) >= lb - 1e-4
+    assert np.all(np.isfinite(np.asarray(res.qs)))
+
+    # host-loop reference with identical per-step semantics
+    lb_a = jnp.full((6,), lb, jnp.float32)
+    ub_a = jnp.full((6,), ub, jnp.float32)
+    qs_h, xis_h = q0s, xi0s
+    us_warm = jnp.zeros((B, H, 6), jnp.float32)
+    for t in range(T):
+        cp_t = _window(cp, t, H)
+        lmbd = jnp.zeros((B, H + 1, 12), jnp.float32)
+        imu = jnp.full((B, H + 1, 12), jnp.float32(1e-2))
+        mu = jnp.full((B,), jnp.float32(1e-2))
+        out = None
+        for _ in range(NAL):
+            out = pipe._solve(dp, cp_t, qs_h, xis_h, us_warm,
+                              al=(lb_a, ub_a, lmbd, imu))
+            g = jnp.concatenate(
+                [jnp.concatenate([lb_a[None, None] - out.us,
+                                  out.us - ub_a[None, None]], axis=-1),
+                 jnp.zeros((B, 1, 12), jnp.float32)], axis=1)
+            lmbd = jnp.clip(lmbd + imu * g, 0.0, None)
+            mu = jnp.minimum(mu * 10.0, 1e8)
+            imu = jnp.where((g < 0.0) & (lmbd == 0.0), 0.0,
+                            mu[:, None, None])
+        u0 = jnp.clip(out.us[:, 0], lb_a, ub_a)
+        np.testing.assert_allclose(np.asarray(res.us[:, t]), np.asarray(u0),
+                                   atol=1e-4)
+        qs_h, xis_h = model.step({"dyn": dp, "cost": cp_t}, qs_h, xis_h,
+                                 u0, 0)
+        us_warm = jnp.concatenate([out.us[:, 1:], out.us[:, -1:]], axis=1)

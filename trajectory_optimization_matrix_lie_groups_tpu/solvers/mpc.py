@@ -90,6 +90,87 @@ def make_closed_loop(solver: LieILQR, T: int):
     return jax.jit(run)
 
 
+def make_closed_loop_batch_constrained(pipe, model, T: int, lb, ub,
+                                       n_al_iters: int = 4, mu0: float = 1e-2,
+                                       mu_scale: float = 10.0,
+                                       mu_max: float = 1e8):
+    """Batched closed-loop MPC with input box constraints, fully jitted.
+
+    Every plant step runs a FIXED ``n_al_iters`` augmented-Lagrangian outer
+    iterations around the pipeline solve (multiplier state is rebuilt per
+    window from mu0 — the receding-horizon analog of
+    `solvers/al_pipeline.ALPipelineSolver`, with the convergence break
+    replaced by the static outer budget so the whole T-step x B-instance
+    simulation stays one XLA program).  Returns BatchMPCResult plus a
+    (B, T) max-violation history as a 5th field via the J_pred tuple —
+    see ``run``'s docstring.
+    """
+    H = pipe.N
+
+    def run(dp, cp_full, q0s, xi0s):
+        """Returns (BatchMPCResult, maxv (B, T) per-step max violation)."""
+        B = q0s.shape[0]
+        nu = model.nu
+        C = 2 * nu
+        params = {"dyn": dp, "cost": cp_full}
+        dtp = xi0s.dtype
+        lb_a = jnp.broadcast_to(jnp.asarray(lb, dtp), (nu,))
+        ub_a = jnp.broadcast_to(jnp.asarray(ub, dtp), (nu,))
+
+        def al_solve(cp_t, qs, xis, us_warm):
+            lmbd = jnp.zeros((B, H + 1, C), dtp)
+            imu = jnp.full((B, H + 1, C), jnp.asarray(mu0, dtp))
+            mu = jnp.full((B,), jnp.asarray(mu0, dtp))
+
+            def outer(carry, _):
+                lmbd, imu, mu, _ = carry
+                out = pipe._solve(dp, cp_t, qs, xis, us_warm,
+                                  al=(lb_a, ub_a, lmbd, imu))
+                glo = lb_a[None, None] - out.us
+                ghi = out.us - ub_a[None, None]
+                g = jnp.concatenate(
+                    [jnp.concatenate([glo, ghi], axis=-1),
+                     jnp.zeros((B, 1, C), dtp)], axis=1)
+                lmbd = jnp.clip(lmbd + imu * g, 0.0, None)
+                mu = jnp.minimum(mu * mu_scale, mu_max)
+                imu = jnp.where((g < 0.0) & (lmbd == 0.0), 0.0,
+                                mu[:, None, None])
+                return (lmbd, imu, mu, out), None
+
+            # lax.scan would require `out` in the carry with a concrete
+            # initial value; a static unroll of n_al_iters is simpler and
+            # identical (n_al_iters is small)
+            carry = (lmbd, imu, mu, None)
+            for _ in range(n_al_iters):
+                carry, _ = outer(carry, None)
+            return carry[3]
+
+        def mpc_step(carry, t):
+            qs, xis, us_warm = carry
+            cp_t = _window(cp_full, t, H)
+            out = al_solve(cp_t, qs, xis, us_warm)
+            u0 = jnp.clip(out.us[:, 0], lb_a, ub_a)  # actuator saturation
+            maxv = jnp.maximum(
+                jnp.max(jnp.maximum(lb_a[None, None] - out.us,
+                                    out.us - ub_a[None, None]), axis=(1, 2)),
+                0.0)
+            q_next, xi_next = model.step(params, qs, xis, u0, 0)
+            us_next = jnp.concatenate([out.us[:, 1:], out.us[:, -1:]], axis=1)
+            return (q_next, xi_next, us_next), (q_next, xi_next, u0,
+                                                out.J_opt, maxv)
+
+        us0 = jnp.zeros((B, H, nu), dtype=dtp)
+        (_, _, _), (qs_t, xis_t, us_applied, J_pred, maxv_t) = lax.scan(
+            mpc_step, (q0s, xi0s, us0), jnp.arange(T))
+        tb = lambda x: jnp.moveaxis(x, 0, 1)
+        qs = jnp.concatenate([q0s[:, None], tb(qs_t)], axis=1)
+        xis = jnp.concatenate([xi0s[:, None], tb(xis_t)], axis=1)
+        return BatchMPCResult(qs=qs, xis=xis, us=tb(us_applied),
+                              J_pred=tb(J_pred)), tb(maxv_t)
+
+    return jax.jit(run)
+
+
 def make_closed_loop_batch(pipe, model, T: int):
     """Batched Monte-Carlo closed-loop MPC on the lane-layout pipeline.
 
