@@ -141,10 +141,12 @@ def test_constrained_batch_mpc_matches_host_loop():
                 [jnp.concatenate([lb_a[None, None] - out.us,
                                   out.us - ub_a[None, None]], axis=-1),
                  jnp.zeros((B, 1, 12), jnp.float32)], axis=1)
-            lmbd = jnp.clip(lmbd + imu * g, 0.0, None)
-            mu = jnp.minimum(mu * 10.0, 1e8)
-            imu = jnp.where((g < 0.0) & (lmbd == 0.0), 0.0,
-                            mu[:, None, None])
+            frz = (jnp.max(g, axis=(1, 2)) < 1e-2)[:, None, None]
+            lmbd = jnp.where(frz, lmbd, jnp.clip(lmbd + imu * g, 0.0, None))
+            mu = jnp.where(frz[:, 0, 0], mu, jnp.minimum(mu * 10.0, 1e8))
+            imu = jnp.where(frz, imu,
+                            jnp.where((g < 0.0) & (lmbd == 0.0), 0.0,
+                                      mu[:, None, None]))
         u0 = jnp.clip(out.us[:, 0], lb_a, ub_a)
         np.testing.assert_allclose(np.asarray(res.us[:, t]), np.asarray(u0),
                                    atol=1e-4)

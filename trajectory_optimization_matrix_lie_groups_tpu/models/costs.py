@@ -232,19 +232,36 @@ def al_init_params(cost_params, constr_params, N, constr_size, mu0=1e-2, dtype=j
     )
 
 
-def al_update_params(p: ALParams, constr_eval, mu_scale=10.0, mu_max=1e8):
+def al_update_params(p: ALParams, constr_eval, mu_scale=10.0, mu_max=1e8,
+                     freeze=None):
     """First-order multiplier update + penalty escalation.
 
     ref `_al_update_param` (traopt_controller.py:3270-3290):
         lmbd <- clip(lmbd + Imu g, 0, inf)
         mu   <- min(mu * scale, mu_max)
         Imu  <- diag(where(g < 0 and lmbd == 0, 0, mu))
+
+    ``freeze``: optional (B,) bool mask of problems whose AL state must NOT
+    change.  The reference solves one problem and STOPS updating at
+    convergence (traopt_controller.py:3250); the faithful batch
+    generalization freezes each converged problem individually — without
+    it, a batch's collective outer loop keeps escalating penalties on
+    problems already sitting on the constraint boundary (g ~ 0 keeps
+    Imu = mu growing to mu_max) until it destabilizes them.
     """
     lmbd_new = jnp.clip(
         p.lmbd + jnp.einsum("...cd,...d->...c", p.Imu, constr_eval), 0.0, None
     )
     mu_new = jnp.minimum(p.mu * mu_scale, mu_max)
-    active = jnp.where((constr_eval < 0.0) & (lmbd_new == 0.0), 0.0, mu_new)
+    if freeze is not None:
+        # per-problem mu: broadcast a scalar mu up to (B,) on first use
+        mu_b = jnp.broadcast_to(p.mu, freeze.shape)
+        mu_new = jnp.where(freeze, mu_b, jnp.minimum(mu_b * mu_scale, mu_max))
+        lmbd_new = jnp.where(freeze[:, None, None], p.lmbd, lmbd_new)
+    act_mu = mu_new[..., None, None] if freeze is not None else mu_new
+    active = jnp.where((constr_eval < 0.0) & (lmbd_new == 0.0), 0.0, act_mu)
     c = constr_eval.shape[-1]
     Imu_new = active[..., :, None] * jnp.eye(c, dtype=active.dtype)
+    if freeze is not None:
+        Imu_new = jnp.where(freeze[:, None, None, None], p.Imu, Imu_new)
     return p._replace(lmbd=lmbd_new, Imu=Imu_new, mu=mu_new)

@@ -920,7 +920,11 @@ int traopt_rb_al_ms_ilqr_solve_batch(
     if (maxv_all < tol) break;
     // lmbd <- clip(lmbd + Imu g, 0, inf); mu <- min(mu*scale, mu_max);
     // Imu <- (g < 0 and lmbd == 0) ? 0 : mu   (models/costs.al_update_params)
+    // — per problem, frozen once that problem satisfies the tolerance
+    // (keeps the collective loop from escalating penalties on problems
+    // already on the constraint boundary until they destabilize)
     for (int b = 0; b < B; ++b) {
+      if (maxv_outs[b] < tol) continue;
       double mu_new = std::min(mu[b] * mu_scale, mu_max);
       for (int i = 0; i <= N; ++i)
         for (int c = 0; c < C; ++c) {

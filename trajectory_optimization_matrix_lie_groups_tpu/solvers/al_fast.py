@@ -91,8 +91,11 @@ class ALFastSolver:
             converged = bool(np.max(np.asarray(max_v)) < self.tol_constr)
             if converged:
                 break
+            # per-problem freeze: stop updating problems already satisfying
+            # the tolerance (see costs.al_update_params docstring)
             al = costs.al_update_params(al, constr_eval, self.mu_scale,
-                                        self.mu_max)
+                                        self.mu_max,
+                                        freeze=max_v < self.tol_constr)
         return ALFastResult(
             qs=st.qs, xis=st.xis, us=st.us, J_opt=st.J_opt, al_params=al,
             constr_eval=constr_eval,

@@ -78,13 +78,19 @@ class ALPipelineSolver:
             if converged:
                 break
             # first-order ascent + active-set rebuild (diagonal Imu), with
-            # terminal g = 0 appended (multiplier there stays, Imu -> mu)
+            # terminal g = 0 appended (multiplier there stays, Imu -> mu);
+            # per-problem freeze of already-satisfied problems (see
+            # costs.al_update_params)
             g = jnp.concatenate(
                 [g_stage, jnp.zeros((B, 1, C), g_stage.dtype)], axis=1)
-            lmbd = jnp.clip(lmbd + imu * g, 0.0, None)
-            mu = jnp.minimum(mu * self.mu_scale, self.mu_max)
-            imu = jnp.where((g < 0.0) & (lmbd == 0.0), 0.0,
-                            mu[:, None, None])
+            frz = (maxv < self.tol_constr)[:, None, None]
+            lmbd = jnp.where(frz, lmbd,
+                             jnp.clip(lmbd + imu * g, 0.0, None))
+            mu = jnp.where(frz[:, 0, 0], mu,
+                           jnp.minimum(mu * self.mu_scale, self.mu_max))
+            imu = jnp.where(frz, imu,
+                            jnp.where((g < 0.0) & (lmbd == 0.0), 0.0,
+                                      mu[:, None, None]))
         return ALPipelineResult(
             qs=st.qs, xis=st.xis, us=st.us, J_opt=st.J_opt, lmbd=lmbd,
             max_violation=maxv, outer_iterations=outer + 1,

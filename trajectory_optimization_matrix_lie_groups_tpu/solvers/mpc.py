@@ -131,10 +131,16 @@ def make_closed_loop_batch_constrained(pipe, model, T: int, lb, ub,
                 g = jnp.concatenate(
                     [jnp.concatenate([glo, ghi], axis=-1),
                      jnp.zeros((B, 1, C), dtp)], axis=1)
-                lmbd = jnp.clip(lmbd + imu * g, 0.0, None)
-                mu = jnp.minimum(mu * mu_scale, mu_max)
-                imu = jnp.where((g < 0.0) & (lmbd == 0.0), 0.0,
-                                mu[:, None, None])
+                # per-problem freeze of already-satisfied instances (see
+                # costs.al_update_params)
+                frz = (jnp.max(g, axis=(1, 2)) < 1e-2)[:, None, None]
+                lmbd = jnp.where(frz, lmbd,
+                                 jnp.clip(lmbd + imu * g, 0.0, None))
+                mu = jnp.where(frz[:, 0, 0], mu,
+                               jnp.minimum(mu * mu_scale, mu_max))
+                imu = jnp.where(frz, imu,
+                                jnp.where((g < 0.0) & (lmbd == 0.0), 0.0,
+                                          mu[:, None, None]))
                 return (lmbd, imu, mu, out), None
 
             # lax.scan would require `out` in the carry with a concrete

@@ -744,17 +744,44 @@ def run_al_batch(args):
     xi0s = jnp.broadcast_to(xi_ref[0], (B, 6)) + 0.05
     us0 = jnp.zeros((B, H, 6), q_ref.dtype)
 
-    inner = FastBatchSolver(model_c, N=H, iterations=25, use_pallas=False)
-    al = ALFastSolver(inner, constr, tol_constr=1e-2)
-    t0 = time.perf_counter()
-    res = al.solve({"dyn": dp, "cost": alp}, q0s, xi0s, us0,
-                   q_ref=q_ref, xi_ref=xi_ref, n_al_iters=15)
-    wall = time.perf_counter() - t0
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # fused 2-kernel pipeline with in-loop AL terms (f32 on chip)
+        from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_pipeline import (
+            ALPipelineSolver,
+        )
+        from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
+            PallasPipelineSolver,
+        )
+
+        f32 = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.float32) if hasattr(x, "dtype")
+            and jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        pipe = PallasPipelineSolver(N=H, iterations=25,
+                                    dt=float(prob["dt"]))
+        al = ALPipelineSolver(pipe, lb=np.full(6, lb), ub=np.full(6, ub),
+                              tol_constr=1e-2)
+        t0 = time.perf_counter()
+        res = al.solve(f32(dp), f32(cp), f32(q0s), f32(xi0s), f32(us0),
+                       n_al_iters=15)
+        wall = time.perf_counter() - t0
+        engine = "al_pipeline (fused pallas)"
+    else:
+        inner = FastBatchSolver(model_c, N=H, iterations=25,
+                                use_pallas=False)
+        al = ALFastSolver(inner, constr, tol_constr=1e-2)
+        t0 = time.perf_counter()
+        res = al.solve({"dyn": dp, "cost": alp}, q0s, xi0s, us0,
+                       q_ref=q_ref, xi_ref=xi_ref, n_al_iters=15)
+        wall = time.perf_counter() - t0
+        engine = "al_fast (xla)"
+    mv = np.asarray(res.max_violation)
     print(json.dumps(dict(
-        task="al_batch", batch=B, horizon=H,
+        task="al_batch", batch=B, horizon=H, engine=engine,
         outer_iterations=res.outer_iterations,
         constr_converged=bool(res.constr_converged),
-        max_violation=float(jnp.max(res.max_violation)),
+        lanes_converged=int((mv < 1e-2).sum()),
+        max_violation=float(mv.max()),
         u_max=float(jnp.max(res.us)), u_min=float(jnp.min(res.us)),
         wall_s=round(wall, 2),
     )))
