@@ -67,11 +67,19 @@ class ALFastSolver:
         return jnp.concatenate([g_stage, g_term[:, None]], axis=1)
 
     def solve(self, params, q0s, xi0s, us0, q_ref=None, xi_ref=None,
-              n_al_iters=10):
+              n_al_iters=10, rescue=False):
         """params: {'dyn': ..., 'cost': ALParams}; batched initial states.
 
         Mirrors ref `fit:3218` (inner restarts from `us0` each outer
-        iteration, traopt_controller.py:3237)."""
+        iteration, traopt_controller.py:3237).
+
+        ``rescue``: re-solve any still-unconverged problems with the robust
+        single-problem path (ALILQR around a line-searched, LM-regularized
+        LieILQR).  The fast inner (fixed budget, mu = 0, alpha = 1) can
+        limit-cycle on problems whose unconstrained optimum is far outside
+        the box; the robust inner converges those (verified on the al_batch
+        workload's hard lanes) at serial cost, so it is applied only to the
+        failing few."""
         al = params["cost"]
         if q_ref is None:
             q_ref = al.cost.q_ref
@@ -96,9 +104,51 @@ class ALFastSolver:
             al = costs.al_update_params(al, constr_eval, self.mu_scale,
                                         self.mu_max,
                                         freeze=max_v < self.tol_constr)
+        qs, xis, us = st.qs, st.xis, st.us
+        if rescue and not converged:
+            qs, xis, us, constr_eval = self._rescue(
+                params, q0s, xi0s, us0, qs, xis, us, constr_eval,
+                n_al_iters)
+            converged = bool(
+                np.max(np.asarray(constr_eval)) < self.tol_constr)
         return ALFastResult(
-            qs=st.qs, xis=st.xis, us=st.us, J_opt=st.J_opt, al_params=al,
+            qs=qs, xis=xis, us=us, J_opt=st.J_opt, al_params=al,
             constr_eval=constr_eval,
             max_violation=jnp.max(constr_eval, axis=(1, 2)),
             outer_iterations=outer + 1, constr_converged=converged,
         )
+
+    def _rescue(self, params, q0s, xi0s, us0, qs, xis, us, constr_eval,
+                n_al_iters):
+        """Robust re-solve of unconverged lanes (see ``solve``)."""
+        from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_ilqr import (
+            ALILQR,
+        )
+        from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import (
+            LieILQR,
+            SolverConfig,
+        )
+
+        al0 = params["cost"]
+        maxv = np.asarray(jnp.max(constr_eval, axis=(1, 2)))
+        bad = np.where(maxv >= self.tol_constr)[0]
+        H = us0.shape[1]
+        cfg = SolverConfig(N=H, multiple_shooting=True, line_search=True,
+                           rollout="nonlinear", max_iterations=120,
+                           tol_grad_norm=1e-8, tol_d_norm=1e-6)
+        eng = LieILQR(self.inner.model, cfg)
+        robust = ALILQR(eng, self.constraint, mu_scale=self.mu_scale,
+                        mu_max=self.mu_max, tol_constr=self.tol_constr)
+        # np.asarray of a jax array is a read-only view; copy for patching
+        qs, xis, us = (np.array(qs), np.array(xis), np.array(us))
+        constr_eval = np.array(constr_eval)
+        for b in bad:
+            out = robust.fit({"dyn": params["dyn"], "cost": al0},
+                             (q0s[b], xi0s[b]), us0[b],
+                             n_al_iters=max(n_al_iters, 20),
+                             n_ilqr_iters=120)
+            qs[b], xis[b], us[b] = (np.asarray(out.qs), np.asarray(out.xis),
+                                    np.asarray(out.us))
+            constr_eval[b] = np.asarray(out.constr_eval)
+        return (jnp.asarray(qs), jnp.asarray(xis), jnp.asarray(us),
+                jnp.asarray(constr_eval))

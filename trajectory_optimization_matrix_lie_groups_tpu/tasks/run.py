@@ -772,9 +772,10 @@ def run_al_batch(args):
         al = ALFastSolver(inner, constr, tol_constr=1e-2)
         t0 = time.perf_counter()
         res = al.solve({"dyn": dp, "cost": alp}, q0s, xi0s, us0,
-                       q_ref=q_ref, xi_ref=xi_ref, n_al_iters=15)
+                       q_ref=q_ref, xi_ref=xi_ref, n_al_iters=15,
+                       rescue=True)
         wall = time.perf_counter() - t0
-        engine = "al_fast (xla)"
+        engine = "al_fast (xla) + robust rescue"
     mv = np.asarray(res.max_violation)
     print(json.dumps(dict(
         task="al_batch", batch=B, horizon=H, engine=engine,
