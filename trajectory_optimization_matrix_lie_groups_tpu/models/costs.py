@@ -232,6 +232,27 @@ def al_init_params(cost_params, constr_params, N, constr_size, mu0=1e-2, dtype=j
     )
 
 
+def al_update_diag(lmbd, imu, mu, g, mu_scale=10.0, mu_max=1e8,
+                   freeze=None):
+    """Diagonal-Imu variant of `al_update_params` for batched engines that
+    carry (B, N+1, c) multipliers and (B, N+1, c) diagonal penalties
+    (the fused pipeline and the jitted constrained MPC).  Same rule:
+    lmbd <- clip(lmbd + imu g, 0, inf); mu <- min(mu scale, cap);
+    imu <- (g < 0 and lmbd == 0) ? 0 : mu — with the optional per-problem
+    ``freeze`` mask (B,) leaving converged problems untouched."""
+    lmbd_new = jnp.clip(lmbd + imu * g, 0.0, None)
+    mu_new = jnp.minimum(mu * mu_scale, mu_max)
+    if freeze is not None:
+        frz = freeze[:, None, None]
+        lmbd_new = jnp.where(frz, lmbd, lmbd_new)
+        mu_new = jnp.where(freeze, mu, mu_new)
+    imu_new = jnp.where((g < 0.0) & (lmbd_new == 0.0), 0.0,
+                        mu_new[:, None, None])
+    if freeze is not None:
+        imu_new = jnp.where(freeze[:, None, None], imu, imu_new)
+    return lmbd_new, imu_new, mu_new
+
+
 def al_update_params(p: ALParams, constr_eval, mu_scale=10.0, mu_max=1e8,
                      freeze=None):
     """First-order multiplier update + penalty escalation.

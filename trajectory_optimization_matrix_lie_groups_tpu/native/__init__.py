@@ -375,6 +375,10 @@ class NativeMPC:
             else:
                 us, J, _ = s.solve_window(q, xi, t, H, us_warm)
             u0 = us[0]
+            if self.lb is not None:
+                # actuator saturation: never command outside the box even
+                # when the AL budget did not fully converge this window
+                u0 = np.clip(u0, self.lb, self.ub)
             q, xi = s.step(q, xi, u0)
             us_warm = np.concatenate([us[1:], us[-1:]], axis=0)
             qs.append(q)

@@ -104,22 +104,22 @@ class ALFastSolver:
             al = costs.al_update_params(al, constr_eval, self.mu_scale,
                                         self.mu_max,
                                         freeze=max_v < self.tol_constr)
-        qs, xis, us = st.qs, st.xis, st.us
+        qs, xis, us, J_opt = st.qs, st.xis, st.us, st.J_opt
         if rescue and not converged:
-            qs, xis, us, constr_eval = self._rescue(
-                params, q0s, xi0s, us0, qs, xis, us, constr_eval,
+            qs, xis, us, J_opt, constr_eval = self._rescue(
+                params, q0s, xi0s, us0, qs, xis, us, J_opt, constr_eval,
                 n_al_iters)
             converged = bool(
                 np.max(np.asarray(constr_eval)) < self.tol_constr)
         return ALFastResult(
-            qs=qs, xis=xis, us=us, J_opt=st.J_opt, al_params=al,
+            qs=qs, xis=xis, us=us, J_opt=J_opt, al_params=al,
             constr_eval=constr_eval,
             max_violation=jnp.max(constr_eval, axis=(1, 2)),
             outer_iterations=outer + 1, constr_converged=converged,
         )
 
-    def _rescue(self, params, q0s, xi0s, us0, qs, xis, us, constr_eval,
-                n_al_iters):
+    def _rescue(self, params, q0s, xi0s, us0, qs, xis, us, J_opt,
+                constr_eval, n_al_iters):
         """Robust re-solve of unconverged lanes (see ``solve``)."""
         from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_ilqr import (
             ALILQR,
@@ -141,6 +141,7 @@ class ALFastSolver:
                         mu_max=self.mu_max, tol_constr=self.tol_constr)
         # np.asarray of a jax array is a read-only view; copy for patching
         qs, xis, us = (np.array(qs), np.array(xis), np.array(us))
+        J_opt = np.array(J_opt)
         constr_eval = np.array(constr_eval)
         for b in bad:
             out = robust.fit({"dyn": params["dyn"], "cost": al0},
@@ -149,6 +150,8 @@ class ALFastSolver:
                              n_ilqr_iters=120)
             qs[b], xis[b], us[b] = (np.asarray(out.qs), np.asarray(out.xis),
                                     np.asarray(out.us))
+            # augmented cost of the rescued trajectory (last inner's final J)
+            J_opt[b] = float(out.inner_histories[-1]["J"][-1])
             constr_eval[b] = np.asarray(out.constr_eval)
         return (jnp.asarray(qs), jnp.asarray(xis), jnp.asarray(us),
-                jnp.asarray(constr_eval))
+                jnp.asarray(J_opt), jnp.asarray(constr_eval))

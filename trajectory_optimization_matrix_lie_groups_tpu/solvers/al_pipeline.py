@@ -21,6 +21,9 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from trajectory_optimization_matrix_lie_groups_tpu.models.costs import (
+    al_update_diag,
+)
 from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
     PallasPipelineSolver,
 )
@@ -43,6 +46,7 @@ class ALPipelineSolver:
     def __init__(self, pipe: PallasPipelineSolver, lb, ub,
                  mu0=1e-2, mu_scale=10.0, mu_max=1e8, tol_constr=1e-2):
         self.pipe = pipe
+        # scalar or (nu,); broadcast at solve time when nu is known
         self.lb = np.asarray(lb, np.float64)
         self.ub = np.asarray(ub, np.float64)
         self.mu0 = mu0
@@ -51,18 +55,22 @@ class ALPipelineSolver:
         self.tol_constr = tol_constr
 
     def _violation(self, us):
-        glo = self.lb[None, None] - us
-        ghi = us - self.ub[None, None]
+        lb = np.broadcast_to(self.lb, (us.shape[-1],))
+        ub = np.broadcast_to(self.ub, (us.shape[-1],))
+        glo = lb[None, None] - us
+        ghi = us - ub[None, None]
         g = jnp.concatenate([glo, ghi], axis=-1)  # (B, N, 2nu)
         # terminal g = 0 (models/constraints.py:38) -> max is >= 0
         return jnp.maximum(jnp.max(g, axis=(1, 2)), 0.0), g
 
     def solve(self, dyn, cost, q0s, xi0s, us0, n_al_iters=10):
+        if n_al_iters < 1:
+            raise ValueError("n_al_iters must be >= 1")
         B, N = us0.shape[0], us0.shape[1]
         nu = us0.shape[-1]
         C = 2 * nu
-        lb = jnp.asarray(self.lb)
-        ub = jnp.asarray(self.ub)
+        lb = jnp.broadcast_to(jnp.asarray(self.lb), (nu,))
+        ub = jnp.broadcast_to(jnp.asarray(self.ub), (nu,))
         lmbd = jnp.zeros((B, N + 1, C))
         imu = jnp.full((B, N + 1, C), self.mu0)
         mu = jnp.full((B,), self.mu0)
@@ -77,20 +85,13 @@ class ALPipelineSolver:
             converged = bool(np.max(np.asarray(maxv)) < self.tol_constr)
             if converged:
                 break
-            # first-order ascent + active-set rebuild (diagonal Imu), with
-            # terminal g = 0 appended (multiplier there stays, Imu -> mu);
-            # per-problem freeze of already-satisfied problems (see
-            # costs.al_update_params)
+            # first-order ascent + active-set rebuild with per-problem
+            # freeze; terminal g = 0 appended (costs.al_update_diag)
             g = jnp.concatenate(
                 [g_stage, jnp.zeros((B, 1, C), g_stage.dtype)], axis=1)
-            frz = (maxv < self.tol_constr)[:, None, None]
-            lmbd = jnp.where(frz, lmbd,
-                             jnp.clip(lmbd + imu * g, 0.0, None))
-            mu = jnp.where(frz[:, 0, 0], mu,
-                           jnp.minimum(mu * self.mu_scale, self.mu_max))
-            imu = jnp.where(frz, imu,
-                            jnp.where((g < 0.0) & (lmbd == 0.0), 0.0,
-                                      mu[:, None, None]))
+            lmbd, imu, mu = al_update_diag(
+                lmbd, imu, mu, g, self.mu_scale, self.mu_max,
+                freeze=maxv < self.tol_constr)
         return ALPipelineResult(
             qs=st.qs, xis=st.xis, us=st.us, J_opt=st.J_opt, lmbd=lmbd,
             max_violation=maxv, outer_iterations=outer + 1,

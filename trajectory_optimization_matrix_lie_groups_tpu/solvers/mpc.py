@@ -93,7 +93,8 @@ def make_closed_loop(solver: LieILQR, T: int):
 def make_closed_loop_batch_constrained(pipe, model, T: int, lb, ub,
                                        n_al_iters: int = 4, mu0: float = 1e-2,
                                        mu_scale: float = 10.0,
-                                       mu_max: float = 1e8):
+                                       mu_max: float = 1e8,
+                                       tol_constr: float = 1e-2):
     """Batched closed-loop MPC with input box constraints, fully jitted.
 
     Every plant step runs a FIXED ``n_al_iters`` augmented-Lagrangian outer
@@ -131,16 +132,11 @@ def make_closed_loop_batch_constrained(pipe, model, T: int, lb, ub,
                 g = jnp.concatenate(
                     [jnp.concatenate([glo, ghi], axis=-1),
                      jnp.zeros((B, 1, C), dtp)], axis=1)
-                # per-problem freeze of already-satisfied instances (see
-                # costs.al_update_params)
-                frz = (jnp.max(g, axis=(1, 2)) < 1e-2)[:, None, None]
-                lmbd = jnp.where(frz, lmbd,
-                                 jnp.clip(lmbd + imu * g, 0.0, None))
-                mu = jnp.where(frz[:, 0, 0], mu,
-                               jnp.minimum(mu * mu_scale, mu_max))
-                imu = jnp.where(frz, imu,
-                                jnp.where((g < 0.0) & (lmbd == 0.0), 0.0,
-                                          mu[:, None, None]))
+                # shared update rule with per-problem freeze of
+                # already-satisfied instances (costs.al_update_diag)
+                lmbd, imu, mu = costs.al_update_diag(
+                    lmbd, imu, mu, g, mu_scale, mu_max,
+                    freeze=jnp.max(g, axis=(1, 2)) < tol_constr)
                 return (lmbd, imu, mu, out), None
 
             # lax.scan would require `out` in the carry with a concrete
