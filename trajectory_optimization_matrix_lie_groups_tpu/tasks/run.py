@@ -854,6 +854,69 @@ def run_mpc_batch(args):
     )))
 
 
+def run_mpc_batch_constrained(args):
+    """Monte-Carlo closed-loop MPC with input box constraints: every plant
+    step runs a fixed AL outer budget around the pipeline solve and applies
+    a saturated first control (new capability; see
+    solvers/mpc.make_closed_loop_batch_constrained)."""
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.mpc import (
+        make_closed_loop_batch_constrained,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
+        PallasPipelineSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    data, solver_full, params, _, _, _ = build_benchmark("se3_tracking", True)
+    cp = params["cost"]
+    dp = params["dyn"]
+    to32 = lambda t: jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, t)
+    cp, dp = to32(cp), to32(dp)
+    on_tpu = jax.default_backend() == "tpu"
+    B, H, T = (1024, 40, 100) if on_tpu else (4, 10, 5)
+    lb, ub = -300.0, 300.0
+    pipe = PallasPipelineSolver(N=H, iterations=4, dt=float(dp.dt),
+                                interpret=not on_tpu,
+                                batch_tile=256 if on_tpu else None)
+    run = make_closed_loop_batch_constrained(pipe, solver_full.model, T,
+                                             lb, ub, n_al_iters=4)
+
+    def mk(seed):
+        dq = 0.05 * jax.random.normal(jax.random.PRNGKey(seed), (B, 6),
+                                      dtype=jnp.float32)
+        return SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+
+    reps = 2
+    q0_batches = [jax.device_put(mk(s)) for s in range(reps + 1)]
+    jax.block_until_ready(q0_batches)
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6)).astype(jnp.float32)
+    res, maxv = run(dp, cp, q0_batches[0], xi0s)
+    _ = np.asarray(res.us[:, -1, :])  # compile + completion barrier
+    wall = np.inf
+    for r in range(1, reps + 1):
+        t0 = time.perf_counter()
+        res, maxv = run(dp, cp, q0_batches[r], xi0s)
+        _ = np.asarray(res.us[:, -1, :])
+        wall = min(wall, time.perf_counter() - t0)
+    errT = jnp.linalg.norm(jax.vmap(
+        lambda q: se3.log(se3.inverse(cp.q_ref[T]) @ q))(res.qs[:, -1]),
+        axis=-1)
+    print(json.dumps(dict(
+        task="mpc_batch_constrained", batch=B, horizon=H, steps=T,
+        bounds=[lb, ub], wall_s=round(wall, 3),
+        mpc_solves_per_s=round(B * T / wall, 1),
+        u_max=float(res.us.max()), u_min=float(res.us.min()),
+        planned_violation_mean=float(jnp.mean(maxv)),
+        tracking_err_mean_final=float(jnp.mean(errT)),
+    )))
+
+
 TASKS = {
     "cartpole": run_cartpole,
     "so3_tracking": lambda a: run_benchmark_task("so3_tracking", "so3_tracking", False, a),
@@ -875,6 +938,7 @@ TASKS = {
     "mpc_native": run_mpc_native,
     "al_batch": run_al_batch,
     "mpc_batch": run_mpc_batch,
+    "mpc_batch_constrained": run_mpc_batch_constrained,
     "benchmark_compare": run_benchmark_compare,
     "sweep": run_sweep_task,
     "rollout_sweep": run_rollout_sweep_task,
