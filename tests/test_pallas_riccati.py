@@ -51,3 +51,39 @@ def test_pallas_batch_tile():
     tiled = pallas_backward(*args, interpret=interpret, batch_tile=2)
     for a, b in zip(full, tiled):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+@pytest.mark.parity
+def test_pallas_backward_so3_family():
+    """nx=6 instantiation (SO(3) family): kernel path == XLA scan path."""
+    import jax
+
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SO3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import (
+        FastBatchSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+        cut_reference,
+    )
+
+    H, ITERS, B = 20, 5, 4
+    data, solver, params, x0, us0, _ = build_benchmark("so3_tracking", True,
+                                                       dtype=jnp.float32)
+    params = cut_reference(params, H)
+    cp = params["cost"]
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(5), (B, 3), jnp.float32)
+    q0s = SO3.normalize(cp.q_ref[0][None] @ SO3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 3))
+    us0b = jnp.zeros((B, H, 3), jnp.float32)
+
+    xla = FastBatchSolver(solver.model, N=H, iterations=ITERS,
+                          use_pallas=False)
+    ker = FastBatchSolver(solver.model, N=H, iterations=ITERS,
+                          use_pallas=True,
+                          interpret=jax.default_backend() != "tpu")
+    a = xla.solve(params, q0s, xi0s, us0b, cp.q_ref, cp.xi_ref)
+    b = ker.solve(params, q0s, xi0s, us0b, cp.q_ref, cp.xi_ref)
+    np.testing.assert_allclose(np.asarray(b.us), np.asarray(a.us), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(b.J_opt), np.asarray(a.J_opt),
+                               rtol=2e-5)

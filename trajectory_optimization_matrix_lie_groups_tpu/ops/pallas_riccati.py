@@ -36,8 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NX = 12
-NU = 6  # default control dim; pallas_backward takes the actual nu from shapes
+NX = 12  # default state dim; pallas_backward takes the actual nx from shapes
+NU = 6   # default control dim; likewise
 
 
 def _matmul(A, B, m):
@@ -104,7 +104,7 @@ def _chol_solve_mat(L, B, nu=NU):
 def _riccati_kernel(fx_ref, fu_ref, d_ref, lx_ref, lu_ref, lxx_ref, lux_ref,
                     luu_ref, lxN_ref, lxxN_ref,
                     k_ref, K_ref, Vx1_ref, Vxx1_ref,
-                    Vx_s, Vxx_s, *, nu):
+                    Vx_s, Vxx_s, *, nu, nx=NX):
     # grid = (batch_tiles, N): stage recursion rides dim 1; a fresh batch
     # tile (stage index 0) re-initializes the value-function carry.
     @pl.when(pl.program_id(1) == 0)
@@ -120,13 +120,13 @@ def _riccati_kernel(fx_ref, fu_ref, d_ref, lx_ref, lu_ref, lxx_ref, lux_ref,
 
     fxT = _transpose(fx)
     fuT = _transpose(fu)
-    Vmod = Vx + _matvec(Vxx, dd, NX)
-    Qx = lx_ref[0] + _matvec(fxT, Vmod, NX)
-    Qu = lu_ref[0] + _matvec(fuT, Vmod, NX)
-    VF = _matmul(Vxx, fx, NX)
-    Qxx = lxx_ref[0] + _matmul(fxT, VF, NX)
-    Qux = lux_ref[0] + _matmul(fuT, VF, NX)
-    Quu = luu_ref[0] + _matmul(fuT, _matmul(Vxx, fu, NX), NX)
+    Vmod = Vx + _matvec(Vxx, dd, nx)
+    Qx = lx_ref[0] + _matvec(fxT, Vmod, nx)
+    Qu = lu_ref[0] + _matvec(fuT, Vmod, nx)
+    VF = _matmul(Vxx, fx, nx)
+    Qxx = lxx_ref[0] + _matmul(fxT, VF, nx)
+    Qux = lux_ref[0] + _matmul(fuT, VF, nx)
+    Quu = luu_ref[0] + _matmul(fuT, _matmul(Vxx, fu, nx), nx)
 
     L = _chol(Quu, nu)
     K = -_chol_solve_mat(L, Qux, nu)                      # (nu, 12, BT)
@@ -154,9 +154,10 @@ def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False,
                     batch_tile=None):
     """Batched Riccati backward (mu = 0) via the Pallas grid-pipeline kernel.
 
-    Inputs in solver layout: Fx (B,N,12,12), Fu (B,N,12,6), d (B,N,12),
-    Lx (B,N+1,12), Lu (B,N,6), Lxx (B,N+1,12,12), Lux (B,N,6,12),
-    Luu (B,N,6,6).  Returns (k, K, Vx1, Vxx1) in solver layout.
+    Inputs in solver layout: Fx (B,N,nx,nx), Fu (B,N,nx,nu), d (B,N,nx),
+    Lx (B,N+1,nx), Lu (B,N,nu), Lxx (B,N+1,nx,nx), Lux (B,N,nu,nx),
+    Luu (B,N,nu,nu) — nx/nu from the shapes (12/6 SE(3), 6/3 SO(3)).
+    Returns (k, K, Vx1, Vxx1) in solver layout.
 
     ``batch_tile`` (static, divides B): lanes per grid step.  The grid is
     (B // batch_tile, N); each batch tile sweeps the full backward recursion
@@ -165,6 +166,7 @@ def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False,
     """
     B, N = Fx.shape[0], Fx.shape[1]
     nu = Fu.shape[-1]
+    nx = Fx.shape[-1]
     dt = Fx.dtype
     bt = B if batch_tile is None else batch_tile
     if B % bt:
@@ -192,9 +194,9 @@ def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False,
 
     out_shapes = (
         jax.ShapeDtypeStruct((N, nu, B), dt),
-        jax.ShapeDtypeStruct((N, nu, NX, B), dt),
-        jax.ShapeDtypeStruct((N, NX, B), dt),
-        jax.ShapeDtypeStruct((N, NX, NX, B), dt),
+        jax.ShapeDtypeStruct((N, nu, nx, B), dt),
+        jax.ShapeDtypeStruct((N, nx, B), dt),
+        jax.ShapeDtypeStruct((N, nx, nx, B), dt),
     )
     out_specs = tuple(
         pl.BlockSpec((1,) + s.shape[1:-1] + (bt,), rev(s.shape))
@@ -202,14 +204,14 @@ def pallas_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, interpret=False,
     )
 
     k_l, K_l, Vx1_l, Vxx1_l = pl.pallas_call(
-        functools.partial(_riccati_kernel, nu=nu),
+        functools.partial(_riccati_kernel, nu=nu, nx=nx),
         grid=(nb, N),
         out_shape=out_shapes,
         in_specs=stage_specs + term_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((NX, bt), dt),
-            pltpu.VMEM((NX, NX, bt), dt),
+            pltpu.VMEM((nx, bt), dt),
+            pltpu.VMEM((nx, nx, bt), dt),
         ],
         interpret=interpret,
     )(*stage_args, lxN, lxxN)
