@@ -80,8 +80,9 @@ def test_al_fast_rescue_hard_lane():
 
     Lane construction: PRNGKey(2) draw index 9 over B=32 is a start whose
     unconstrained optimum is far outside the box; the fixed-budget inner
-    limit-cycles on it (violation plateaus ~75) while the robust ALILQR
-    inner converges it (see solvers/al_fast.ALFastSolver.solve docstring).
+    limit-cycles on it (violation plateaus ~75) while the line-searched
+    batched inner converges it — all failing lanes re-solved as one
+    batched program (see solvers/al_fast.ALFastSolver.solve docstring).
     """
     data = load_benchmark_pickle(PKL)
     prob = data["prob"]

@@ -54,6 +54,23 @@ class ALFastSolver:
         self.mu_scale = mu_scale
         self.mu_max = mu_max
         self.tol_constr = tol_constr
+        self._ls_inner = None
+
+    def _ls_solver(self) -> FastBatchSolver:
+        """Line-searched twin of the fast inner (built lazily, cached).
+
+        Used by the batched rescue: same model/N, merit line search on, a
+        larger iteration budget, and no Pallas rollout/linearize fusions
+        (the candidate rollouts run under a vmap over the alpha ladder;
+        the Pallas backward is still used when the inner uses it)."""
+        if self._ls_inner is None:
+            inner = self.inner
+            self._ls_inner = FastBatchSolver(
+                inner.model, inner.N,
+                iterations=max(inner.iterations, 60),
+                use_pallas=inner.use_pallas, interpret=inner.interpret,
+                line_search=True)
+        return self._ls_inner
 
     def _eval_constraints(self, al: costs.ALParams, qs, xis, us):
         """Batched stage-wise g + terminal (ref :3242-3248)."""
@@ -73,13 +90,13 @@ class ALFastSolver:
         Mirrors ref `fit:3218` (inner restarts from `us0` each outer
         iteration, traopt_controller.py:3237).
 
-        ``rescue``: re-solve any still-unconverged problems with the robust
-        single-problem path (ALILQR around a line-searched, LM-regularized
-        LieILQR).  The fast inner (fixed budget, mu = 0, alpha = 1) can
-        limit-cycle on problems whose unconstrained optimum is far outside
-        the box; the robust inner converges those (verified on the al_batch
-        workload's hard lanes) at serial cost, so it is applied only to the
-        failing few."""
+        ``rescue``: re-solve any still-unconverged problems with the
+        line-searched batched inner (`FastBatchSolver(line_search=True)`).
+        The fast inner (fixed budget, mu = 0, alpha = 1) can limit-cycle on
+        problems whose unconstrained optimum is far outside the box; the
+        merit line search converges those (verified on the al_batch
+        workload's hard lanes), and the re-solve runs all failing lanes as
+        ONE batched program rather than serial per-lane solves."""
         al = params["cost"]
         if q_ref is None:
             q_ref = al.cost.q_ref
@@ -87,13 +104,33 @@ class ALFastSolver:
             xi_ref = al.cost.xi_ref
         if n_al_iters < 1:
             raise ValueError("n_al_iters must be >= 1")
+        st, al, constr_eval, converged, outer = self._outer_loop(
+            self.inner, params["dyn"], al, q0s, xi0s, us0, q_ref, xi_ref,
+            n_al_iters)
+        qs, xis, us, J_opt = st.qs, st.xis, st.us, st.J_opt
+        if rescue and not converged:
+            qs, xis, us, J_opt, constr_eval = self._rescue(
+                params, q0s, xi0s, us0, qs, xis, us, J_opt, constr_eval,
+                q_ref, xi_ref, n_al_iters)
+            converged = bool(
+                np.max(np.asarray(constr_eval)) < self.tol_constr)
+        return ALFastResult(
+            qs=qs, xis=xis, us=us, J_opt=J_opt, al_params=al,
+            constr_eval=constr_eval,
+            max_violation=jnp.max(constr_eval, axis=(1, 2)),
+            outer_iterations=outer + 1, constr_converged=converged,
+        )
+
+    def _outer_loop(self, inner, dyn_params, al, q0s, xi0s, us0, q_ref,
+                    xi_ref, n_al_iters):
+        """The AL outer loop (ref fit:3218) around a given batched inner."""
         st = None
         constr_eval = None
         converged = False
         outer = 0
         for outer in range(n_al_iters):
-            st = self.inner.solve({"dyn": params["dyn"], "cost": al},
-                                  q0s, xi0s, us0, q_ref, xi_ref)
+            st = inner.solve({"dyn": dyn_params, "cost": al},
+                             q0s, xi0s, us0, q_ref, xi_ref)
             constr_eval = self._eval_constraints(al, st.qs, st.xis, st.us)
             max_v = jnp.max(constr_eval, axis=(1, 2))
             converged = bool(np.max(np.asarray(max_v)) < self.tol_constr)
@@ -104,54 +141,27 @@ class ALFastSolver:
             al = costs.al_update_params(al, constr_eval, self.mu_scale,
                                         self.mu_max,
                                         freeze=max_v < self.tol_constr)
-        qs, xis, us, J_opt = st.qs, st.xis, st.us, st.J_opt
-        if rescue and not converged:
-            qs, xis, us, J_opt, constr_eval = self._rescue(
-                params, q0s, xi0s, us0, qs, xis, us, J_opt, constr_eval,
-                n_al_iters)
-            converged = bool(
-                np.max(np.asarray(constr_eval)) < self.tol_constr)
-        return ALFastResult(
-            qs=qs, xis=xis, us=us, J_opt=J_opt, al_params=al,
-            constr_eval=constr_eval,
-            max_violation=jnp.max(constr_eval, axis=(1, 2)),
-            outer_iterations=outer + 1, constr_converged=converged,
-        )
+        return st, al, constr_eval, converged, outer
 
     def _rescue(self, params, q0s, xi0s, us0, qs, xis, us, J_opt,
-                constr_eval, n_al_iters):
-        """Robust re-solve of unconverged lanes (see ``solve``)."""
-        from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_ilqr import (
-            ALILQR,
-        )
-        from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import (
-            LieILQR,
-            SolverConfig,
-        )
-
+                constr_eval, q_ref, xi_ref, n_al_iters):
+        """Batched re-solve of unconverged lanes (see ``solve``)."""
         al0 = params["cost"]
         maxv = np.asarray(jnp.max(constr_eval, axis=(1, 2)))
         bad = np.where(maxv >= self.tol_constr)[0]
-        H = us0.shape[1]
-        cfg = SolverConfig(N=H, multiple_shooting=True, line_search=True,
-                           rollout="nonlinear", max_iterations=120,
-                           tol_grad_norm=1e-8, tol_d_norm=1e-6)
-        eng = LieILQR(self.inner.model, cfg)
-        robust = ALILQR(eng, self.constraint, mu_scale=self.mu_scale,
-                        mu_max=self.mu_max, tol_constr=self.tol_constr)
+        st_b, _, ce_b, _, _ = self._outer_loop(
+            self._ls_solver(), params["dyn"], al0,
+            jnp.asarray(q0s)[bad], jnp.asarray(xi0s)[bad],
+            jnp.asarray(us0)[bad], q_ref, xi_ref,
+            max(n_al_iters, 20))
         # np.asarray of a jax array is a read-only view; copy for patching
         qs, xis, us = (np.array(qs), np.array(xis), np.array(us))
         J_opt = np.array(J_opt)
         constr_eval = np.array(constr_eval)
-        for b in bad:
-            out = robust.fit({"dyn": params["dyn"], "cost": al0},
-                             (q0s[b], xi0s[b]), us0[b],
-                             n_al_iters=max(n_al_iters, 20),
-                             n_ilqr_iters=120)
-            qs[b], xis[b], us[b] = (np.asarray(out.qs), np.asarray(out.xis),
-                                    np.asarray(out.us))
-            # augmented cost of the rescued trajectory (last inner's final J)
-            J_opt[b] = float(out.inner_histories[-1]["J"][-1])
-            constr_eval[b] = np.asarray(out.constr_eval)
+        qs[bad], xis[bad], us[bad] = (np.asarray(st_b.qs),
+                                      np.asarray(st_b.xis),
+                                      np.asarray(st_b.us))
+        J_opt[bad] = np.asarray(st_b.J_opt)
+        constr_eval[bad] = np.asarray(ce_b)
         return (jnp.asarray(qs), jnp.asarray(xis), jnp.asarray(us),
                 jnp.asarray(J_opt), jnp.asarray(constr_eval))

@@ -13,6 +13,14 @@ batch at once:
 Fixed iteration budget, no line search, fixed mu = 0 — the bench/MPC
 configuration (same iterates as `backward='sequential_fixed'`; see
 tests/test_batched_fast.py for agreement with the reference engine).
+
+``line_search=True`` adds a per-lane batched merit line search (the MS
+merit loop of `traopt_controller.py:2549-2590`, here every alpha candidate
+rolled out at once and every problem lane selecting its own first
+acceptable step).  Lanes with no acceptable candidate keep their iterate —
+the batched analog of the reference's line-search-exhausted hold.  This is
+the robust inner used by `ALFastSolver` to converge hard constrained lanes
+without falling back to serial per-lane solves.
 """
 
 from typing import NamedTuple
@@ -55,13 +63,23 @@ class FastBatchSolver:
                  use_pallas: bool = True, interpret: bool = False,
                  pallas_rollout_dt: float = None,
                  use_pallas_linearize: bool = False,
-                 batch_tile: int = None):
+                 batch_tile: int = None,
+                 line_search: bool = False, n_alphas: int = 13,
+                 defect_mu0: float = 10.0, defect_rho: float = 0.5,
+                 defect_gamma: float = 0.05, defect_mu_min: float = 10.0,
+                 defect_kappa: float = 1e-12):
         """`pallas_rollout_dt`: pass the (static) time step to additionally
         run the gap-closing rollout as a Pallas kernel; set
         `use_pallas_linearize` to also fuse the stage linearization +
         quadratization into a kernel.  Both are valid only for the free
         SE(3) body (`se3_dynamics`) + GN tracking cost, whose math the
-        kernels implement."""
+        kernels implement.
+
+        `line_search=True` enables the per-lane batched merit line search
+        (constants mirror the reference MS controller,
+        traopt_controller.py:2406-2410); candidate rollouts always take the
+        XLA scan path (vmap over the alpha ladder), the backward pass stays
+        on the Pallas kernel."""
         self.model = model
         self.N = N
         self.iterations = iterations
@@ -70,6 +88,13 @@ class FastBatchSolver:
         self.pallas_rollout_dt = pallas_rollout_dt
         self.pallas_linearize = use_pallas_linearize
         self.batch_tile = batch_tile
+        self.line_search = line_search
+        self.n_alphas = n_alphas
+        self.defect_mu0 = defect_mu0
+        self.defect_rho = defect_rho
+        self.defect_gamma = defect_gamma
+        self.defect_mu_min = defect_mu_min
+        self.defect_kappa = defect_kappa
         self._solve_jit = jax.jit(self._solve)
 
     def _linearize(self, params, qs, xis, us):
@@ -173,10 +198,22 @@ class FastBatchSolver:
             Vx1 + _bmv(jnp.swapaxes(Vxx1, -1, -2), lin["d"]))
         return jnp.mean(jnp.linalg.norm(g, axis=-1), axis=-1)
 
-    def _rollout(self, params, lin, qs, xis, us, k, K):
-        """Gap-closing nonlinear rollout, alpha = 1, batched carry."""
+    def _rollout(self, params, lin, qs, xis, us, k, K, alpha=None):
+        """Gap-closing nonlinear rollout, batched carry.
+
+        `alpha=None` is the fast alpha = 1 path (Pallas kernel eligible);
+        a traced scalar `alpha` scales the feedforward and the gap-closing
+        defect exactly as the reference alpha-rollout
+        (traopt_controller.py:2697-2726) and forces the XLA scan path so it
+        can sit under a vmap over the alpha ladder."""
         g = self.model.group
-        if self.pallas_rollout_dt is not None:
+        if alpha is not None:
+            # alpha-scaled quantities; K and the nominal trajectory are
+            # untouched, so scaling (k, d) reproduces the reference rollout.
+            k = alpha * k
+            lin = dict(lin)
+            lin["d"] = alpha * lin["d"]
+        if alpha is None and self.pallas_rollout_dt is not None:
             from trajectory_optimization_matrix_lie_groups_tpu.ops import se3 as se3ops
 
             dp = params["dyn"]
@@ -218,6 +255,109 @@ class FastBatchSolver:
         qs, xis, us = self._rollout(params, lin, qs, xis, us, k, K)
         return qs, xis, us, jnp.sum(lin["L"], axis=-1), grad
 
+    # -- batched merit line search (line_search=True) -----------------------
+
+    def _traj_cost_b(self, params, qs, xis, us):
+        idx = jnp.arange(self.N)
+        L = self.model.stage_cost(params, qs[:, :-1], xis[:, :-1], us, idx)
+        LN = self.model.term_cost(params, qs[:, -1], xis[:, -1], self.N)
+        return jnp.sum(L, axis=-1) + LN
+
+    def _defect_norm_b(self, params, qs, xis, us):
+        idx = jnp.arange(self.N)
+        fq, fxi = self.model.step(params, qs[:, :-1], xis[:, :-1], us, idx)
+        d_q = self.model.group.rminus(fq, qs[:, 1:])
+        d_xi = fxi - xis[:, 1:]
+        d = jnp.concatenate([d_q, d_xi], axis=-1)
+        B = qs.shape[0]
+        return jnp.linalg.norm(d.reshape(B, -1), axis=-1)
+
+    def _probe_errs(self, lin, k, K):
+        """alpha = 1 linear gap-closing probe (ref `_expected_cost_change`
+        inputs): per-lane error trajectory via parallel prefix over the
+        affine maps dx+ = (Fx + Fu K) dx + (Fu k + d)."""
+        M = lin["Fx"] + lin["Fu"] @ K
+        c = _bmv(lin["Fu"], k) + lin["d"]
+
+        def combine(e1, e2):
+            A1, b1 = e1
+            A2, b2 = e2
+            return A2 @ A1, _bmv(A2, b1) + b2
+
+        _, b_pref = lax.associative_scan(combine, (M, c), axis=1)
+        dx = jnp.concatenate([jnp.zeros_like(b_pref[:, :1]), b_pref], axis=1)
+        us_err = k + _bmv(K, dx[:, :-1])
+        return dx, us_err
+
+    def _ecc_b(self, lin, xs_errs, us_errs):
+        """Batched expected cost change (ref :2756-2769)."""
+        first = (jnp.einsum("bni,bni->b", lin["Lx"], xs_errs)
+                 + jnp.einsum("bni,bni->b", lin["Lu"], us_errs))
+        second = (
+            jnp.einsum("bni,bnij,bnj->b", xs_errs, lin["Lxx"], xs_errs)
+            + jnp.einsum("bni,bnij,bnj->b", us_errs, lin["Luu"], us_errs)
+            + 2.0 * jnp.einsum("bni,bnij,bnj->b", us_errs, lin["Lux"],
+                               xs_errs[:, :-1])
+        )
+        return first, second
+
+    def _iteration_ls(self, params, qs, xis, us, d_weight):
+        """One MS iteration with the per-lane batched merit line search.
+
+        Same accept rule / d_weight schedule as `LieILQR._iteration`
+        (merit loop, traopt_controller.py:2549-2590), vectorized over both
+        the alpha ladder and the problem batch; every lane picks its own
+        first acceptable alpha and lanes with none keep their iterate."""
+        from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import (
+            alpha_ladder,
+        )
+
+        B = qs.shape[0]
+        lin = self._linearize(params, qs, xis, us)
+        k, K, Vx1, Vxx1 = self._backward(lin)
+        grad = self._grad_norm(lin, Vx1, Vxx1)
+        J_opt = jnp.sum(lin["L"], axis=-1)
+        d_norm = jnp.linalg.norm(lin["d"].reshape(B, -1), axis=-1)
+
+        xs_errs_p, us_errs_p = self._probe_errs(lin, k, K)
+        ecc1, ecc2 = self._ecc_b(lin, xs_errs_p, us_errs_p)
+        d_weight = jnp.where(
+            d_norm < self.defect_kappa,
+            d_weight,
+            jnp.maximum(
+                self.defect_mu_min,
+                self.defect_mu0
+                + jnp.abs(ecc1 + 0.5 * ecc2)
+                / ((1.0 - self.defect_rho) * jnp.maximum(d_norm, 1e-30)),
+            ),
+        )
+        merit = J_opt + d_weight * d_norm
+
+        alphas = alpha_ladder(self.n_alphas, dtype=us.dtype)
+
+        def candidate(alpha):
+            qs_c, xis_c, us_c = self._rollout(params, lin, qs, xis, us, k, K,
+                                              alpha=alpha)
+            J_c = self._traj_cost_b(params, qs_c, xis_c, us_c)
+            dn_c = self._defect_norm_b(params, qs_c, xis_c, us_c)
+            return qs_c, xis_c, us_c, J_c, dn_c
+
+        qs_a, xis_a, us_a, J_a, dn_a = jax.vmap(candidate)(alphas)
+        J_exp = alphas[:, None] * ecc1 + 0.5 * alphas[:, None] ** 2 * ecc2
+        merit_a = J_a + d_weight * dn_a
+        ok_a = (merit_a - merit) < self.defect_gamma * (
+            J_exp - alphas[:, None] * d_weight * d_norm)
+        idx_first = jnp.argmax(ok_a, axis=0)          # (B,)
+        accepted = jnp.any(ok_a, axis=0)              # (B,)
+        lane = jnp.arange(B)
+        sel = lambda arr: arr[idx_first, lane]
+        pick = lambda new, old: jnp.where(
+            accepted.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+        qs_n = pick(sel(qs_a), qs)
+        xis_n = pick(sel(xis_a), xis)
+        us_n = pick(sel(us_a), us)
+        return qs_n, xis_n, us_n, J_opt, grad, d_weight
+
     def _solve(self, params, q0s, xi0s, us0, q_ref, xi_ref):
         B = q0s.shape[0]
         qs = jnp.concatenate(
@@ -227,14 +367,24 @@ class FastBatchSolver:
             [xi0s[:, None], jnp.broadcast_to(xi_ref[1:], (B,) + xi_ref[1:].shape)],
             axis=1)
         us = us0
+        inf = jnp.full((B,), jnp.inf, us.dtype)
 
-        def body(_, carry):
-            qs, xis, us, J, grad = carry
-            return self._iteration(params, qs, xis, us)
+        if self.line_search:
+            def body(_, carry):
+                qs, xis, us, J, grad, dw = carry
+                return self._iteration_ls(params, qs, xis, us, dw)
 
-        init = (qs, xis, us, jnp.full((B,), jnp.inf, us.dtype),
-                jnp.full((B,), jnp.inf, us.dtype))
-        qs, xis, us, J, grad = lax.fori_loop(0, self.iterations, body, init)
+            dw0 = jnp.full((B,), self.defect_mu0, us.dtype)
+            init = (qs, xis, us, inf, inf, dw0)
+            qs, xis, us, J, grad, _ = lax.fori_loop(
+                0, self.iterations, body, init)
+        else:
+            def body(_, carry):
+                qs, xis, us, J, grad = carry
+                return self._iteration(params, qs, xis, us)
+
+            init = (qs, xis, us, inf, inf)
+            qs, xis, us, J, grad = lax.fori_loop(0, self.iterations, body, init)
         return FastBatchState(qs=qs, xis=xis, us=us, J_opt=J, grad_norm=grad)
 
     def solve(self, params, q0s, xi0s, us0, q_ref, xi_ref):

@@ -775,7 +775,7 @@ def run_al_batch(args):
                        q_ref=q_ref, xi_ref=xi_ref, n_al_iters=15,
                        rescue=True)
         wall = time.perf_counter() - t0
-        engine = "al_fast (xla) + robust rescue"
+        engine = "al_fast (xla) + batched line-searched rescue"
     mv = np.asarray(res.max_violation)
     print(json.dumps(dict(
         task="al_batch", batch=B, horizon=H, engine=engine,
