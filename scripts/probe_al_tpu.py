@@ -38,7 +38,7 @@ H = 20 if SMALL else bench.HORIZON
 B = 8 if SMALL else 4096
 ITERS = 4 if SMALL else bench.ITERS
 TILE = None if SMALL else 256
-N_AL = 10  # bench-scale problem needs ~10 outers to 1e-2 (probe_al_bench_scale)
+N_AL = int(os.environ.get("N_AL", "10"))  # bench-scale problem needs ~10 outers to 1e-2 (probe_al_bench_scale); on-chip at B=4096 10 outers converge 92% of lanes — override via N_AL env
 
 model, params, _, _, q_ref, xi_ref = bench.build_problem(jnp.float32, horizon=H)
 dp, cp = params["dyn"], params["cost"]

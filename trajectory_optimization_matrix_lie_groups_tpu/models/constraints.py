@@ -24,8 +24,13 @@ class InputBoxParams(NamedTuple):
 
 
 def input_box_params(lb, ub, nu):
-    lb = jnp.broadcast_to(jnp.asarray(lb, dtype=jnp.result_type(float)), (nu,))
-    ub = jnp.broadcast_to(jnp.asarray(ub, dtype=jnp.result_type(float)), (nu,))
+    # array inputs keep their dtype (an f32 MPC program must not pick up
+    # f64 bounds under x64); python scalars take the default float
+    dt = jnp.result_type(jnp.asarray(lb), jnp.asarray(ub))
+    if not jnp.issubdtype(dt, jnp.floating):
+        dt = jnp.result_type(float)
+    lb = jnp.broadcast_to(jnp.asarray(lb, dtype=dt), (nu,))
+    ub = jnp.broadcast_to(jnp.asarray(ub, dtype=dt), (nu,))
     return InputBoxParams(lb=lb, ub=ub)
 
 

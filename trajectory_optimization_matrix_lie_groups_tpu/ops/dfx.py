@@ -336,14 +336,26 @@ JINVK = _df_coeffs([
 
 
 def poly(x, coeffs):
-    """Horner evaluation of a DF-coefficient series at DF x."""
+    """Estrin evaluation of a DF-coefficient series at DF x.
+
+    Horner's rule chains terms serially (depth ~ n ops); on both the TPU
+    VPU (no ILP across a serial chain) and in XLA's compile-time passes
+    (superlinear in dependency-chain depth — measured: a 15k-op kernel
+    body with Horner chains took ~65 s to compile vs seconds for wide
+    bodies) that depth is the dominant cost.  Estrin's scheme pairs
+    coefficients and squares the argument recursively: depth O(log n),
+    same op count."""
     x = promote(x)
-    out = promote(coeffs[-1])
-    # broadcast the scalar seed against x
-    out = DF(jnp.zeros_like(x.hi) + out.hi, jnp.zeros_like(x.lo) + out.lo)
-    for c in reversed(coeffs[:-1]):
-        out = out * x + c
-    return out
+    b = jnp.zeros_like(x.hi)
+    # broadcast scalar coefficients against x once
+    terms = [DF(b + promote(c).hi, b + promote(c).lo) for c in coeffs]
+    p = x
+    while len(terms) > 1:
+        terms = [terms[i] + p * terms[i + 1] if i + 1 < len(terms)
+                 else terms[i] for i in range(0, len(terms), 2)]
+        if len(terms) > 1:
+            p = p * p
+    return terms[0]
 
 
 def sincos(theta):

@@ -9,10 +9,21 @@ on sublane axes, or linalg calls — i.e. the subset Mosaic lowers.
 These mirror `ops/so3.py` / `ops/se3.py` exactly (same Taylor guards, same
 branchless Shepperd quaternion extraction, realized with nested `where`
 instead of argmax/take) so kernel numerics match the host kernels at f32.
+
+Every function is additionally polymorphic over `ops/dfx.DF` operands (the
+double-f32 compensated representation): arithmetic dispatches through DF's
+operator overloads, structural ops through the `dfx.*` mirrors, and the
+trig-based rotation-angle coefficients switch to dfx's exact-rational
+Taylor series (branchless, no cancellation — the f32 guard pattern's
+`(1-cos th)/th^2`-style expressions are exactly where double-f32 would lose
+its extra bits).  The f32 path is bit-identical to before: the dispatchers
+reduce to the same jnp calls in the same operand order.
 """
 
 import jax
 import jax.numpy as jnp
+
+from trajectory_optimization_matrix_lie_groups_tpu.ops import dfx
 
 _EPS = 1e-8
 
@@ -30,11 +41,20 @@ def matvec3(A, v):
 
 
 def transpose(A):
-    return jnp.swapaxes(A, 0, 1)
+    return dfx.swapaxes(A, 0, 1)
 
 
 def _mat3(rows):
     """Build a (3,3,B) from a 3x3 nest of (B,) lane vectors."""
+    if any(dfx.is_df(rows[i][j]) for i in range(3) for j in range(3)):
+        # assembly is pure placement — build the hi and lo planes with
+        # plain f32 one-hot accumulation (no DF arithmetic: the one-hot
+        # masks are disjoint, so hi/lo components never interact)
+        prom = [[dfx.promote(rows[i][j]) for j in range(3)] for i in range(3)]
+        return dfx.DF(_mat3([[prom[i][j].hi for j in range(3)]
+                             for i in range(3)]),
+                      _mat3([[prom[i][j].lo for j in range(3)]
+                             for i in range(3)]))
     # stack along sublane axes via broadcast-add with iota one-hots
     B = rows[0][0].shape[-1]
     dt = rows[0][0].dtype
@@ -50,6 +70,9 @@ def _mat3(rows):
 
 def _vec(entries):
     """Build an (n,B) from a list of (B,) lane vectors."""
+    if any(dfx.is_df(e) for e in entries):
+        prom = [dfx.promote(e) for e in entries]
+        return dfx.DF(_vec([p.hi for p in prom]), _vec([p.lo for p in prom]))
     n = len(entries)
     B = entries[0].shape[-1]
     dt = entries[0].dtype
@@ -62,7 +85,7 @@ def _vec(entries):
 
 def hat(w):
     """(3,B) -> (3,3,B)."""
-    z = jnp.zeros_like(w[0])
+    z = dfx.zeros_like(w[0])
     return _mat3([[z, -w[2], w[1]], [w[2], z, -w[0]], [-w[1], w[0], z]])
 
 
@@ -71,10 +94,15 @@ def hat(w):
 def so3_exp(w):
     """(3,B) -> (3,3,B) Rodrigues with Taylor guards."""
     th_sq = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
-    small = th_sq < _EPS
-    th = jnp.sqrt(jnp.where(small, 1.0, th_sq))
-    a = jnp.where(small, 1.0 - th_sq / 6.0, jnp.sin(th) / th)
-    b = jnp.where(small, 0.5 - th_sq / 24.0, (1.0 - jnp.cos(th)) / jnp.where(small, 1.0, th_sq))
+    if dfx.is_df(w):
+        # branchless full-range series in x = th^2 (no cancellation)
+        a = dfx.poly(th_sq, dfx.SINC)
+        b = dfx.poly(th_sq, dfx.COSC)
+    else:
+        small = th_sq < _EPS
+        th = jnp.sqrt(jnp.where(small, 1.0, th_sq))
+        a = jnp.where(small, 1.0 - th_sq / 6.0, jnp.sin(th) / th)
+        b = jnp.where(small, 0.5 - th_sq / 24.0, (1.0 - jnp.cos(th)) / jnp.where(small, 1.0, th_sq))
     W = hat(w)
     W2 = matmul3(W, W)
     eye = _eye3(w.dtype, w.shape[-1])
@@ -95,7 +123,7 @@ def quat_from_matrix(R):
     tr = m00 + m11 + m22
 
     def ssq(x):
-        return jnp.sqrt(jnp.maximum(x, 1e-30))
+        return dfx.sqrt(dfx.maximum(x, 1e-30))
 
     # candidates (unnormalized), one per pivot
     s_w = ssq(1.0 + tr)
@@ -119,10 +147,10 @@ def quat_from_matrix(R):
 
     q = []
     for i in range(4):
-        v = jnp.where(use_x, cx[i], jnp.where(use_y, cy[i],
-                      jnp.where(use_z, cz[i], cw[i])))
+        v = dfx.where(use_x, cx[i], dfx.where(use_y, cy[i],
+                      dfx.where(use_z, cz[i], cw[i])))
         q.append(v)
-    norm = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
+    norm = dfx.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
     sign = jnp.where(q[0] < 0.0, -1.0, 1.0)
     return tuple(sign * qq / norm for qq in q)
 
@@ -154,7 +182,15 @@ def atan2_pos(y, x):
     """atan2 for y, x >= 0 (first quadrant) from elementwise primitives.
 
     Mosaic has no atan/asin/acos lowering; this is the Cephes polynomial
-    with range reduction (~1e-7 absolute — f32-grade)."""
+    with range reduction (~1e-7 absolute — f32-grade).  DF operands take
+    the f32 estimate + one compensated Newton step on
+    g(a) = sin(a) x - cos(a) y (quadratic convergence: ~1e-14 absolute),
+    assuming x^2 + y^2 = O(1) as in the unit-quaternion caller."""
+    if dfx.is_df(y) or dfx.is_df(x):
+        y, x = dfx.promote(y), dfx.promote(x)
+        a = dfx.promote(atan2_pos(y.hi, x.hi))
+        s, c = dfx.sincos(a)
+        return a - (s * x - c * y) / (c * x + s * y)
     swap = y > x
     num = jnp.where(swap, x, y)
     den = jnp.where(swap, y, x)
@@ -168,10 +204,10 @@ def so3_log(R):
     qw, qx, qy, qz = quat_from_matrix(R)
     nv_sq = qx * qx + qy * qy + qz * qz
     small = nv_sq < 1e-14
-    nv = jnp.sqrt(jnp.where(small, 1.0, nv_sq))
+    nv = dfx.sqrt(dfx.where(small, 1.0, nv_sq))
     big = 2.0 * atan2_pos(nv, qw) / nv
     taylor = 2.0 / qw - 2.0 * nv_sq / (3.0 * qw**3)
-    s = jnp.where(small, taylor, big)
+    s = dfx.where(small, taylor, big)
     return _vec([s * qx, s * qy, s * qz])
 
 
@@ -180,6 +216,8 @@ def so3_normalize(R):
 
 
 def _jl_coeffs(th_sq):
+    if dfx.is_df(th_sq):
+        return dfx.poly(th_sq, dfx.COSC), dfx.poly(th_sq, dfx.SINC3)
     small = th_sq < _EPS
     th_sq_safe = jnp.where(small, 1.0, th_sq)
     th = jnp.sqrt(th_sq_safe)
@@ -199,12 +237,16 @@ def so3_left_jacobian(w):
 
 def so3_left_jacobian_inv(w):
     th_sq = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
-    small = th_sq < _EPS
-    th_sq_safe = jnp.where(small, 1.0, th_sq)
-    th = jnp.sqrt(th_sq_safe)
-    half = th / 2.0
-    k = jnp.where(small, 1.0 / 12.0 + th_sq / 720.0,
-                  1.0 / th_sq_safe - jnp.cos(half) / (2.0 * th * jnp.sin(half)))
+    if dfx.is_df(w):
+        # Bernoulli series of 1/th^2 - cos(th/2)/(2 th sin(th/2)) in th^2
+        k = dfx.poly(th_sq, dfx.JINVK)
+    else:
+        small = th_sq < _EPS
+        th_sq_safe = jnp.where(small, 1.0, th_sq)
+        th = jnp.sqrt(th_sq_safe)
+        half = th / 2.0
+        k = jnp.where(small, 1.0 / 12.0 + th_sq / 720.0,
+                      1.0 / th_sq_safe - jnp.cos(half) / (2.0 * th * jnp.sin(half)))
     W = hat(w)
     W2 = matmul3(W, W)
     return _eye3(w.dtype, w.shape[-1]) - 0.5 * W + k[None, None, :] * W2
@@ -225,7 +267,7 @@ def se3_log(R, p):
     """(R, p) -> (6,B)."""
     w = so3_log(R)
     v = matvec3(so3_left_jacobian_inv(w), p)
-    return jnp.concatenate([w, v], axis=0)
+    return dfx.concatenate([w, v], axis=0)
 
 
 def se3_compose(R1, p1, R2, p2):
@@ -249,17 +291,20 @@ def matvec(A, v, m):
 
 def blk(A, Bm, C, D):
     """[[A, Bm], [C, D]] from (r,c,B) quadrants via sublane concats."""
-    top = jnp.concatenate([A, Bm], axis=1)
-    bot = jnp.concatenate([C, D], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+    top = dfx.concatenate([A, Bm], axis=1)
+    bot = dfx.concatenate([C, D], axis=1)
+    return dfx.concatenate([top, bot], axis=0)
 
 
 def _zeros3(like):
-    return jnp.zeros_like(like)
+    return dfx.zeros_like(like)
 
 
 def _q_coeffs(th_sq):
     """Barfoot Q-matrix coefficients with Taylor guards (lane vectors)."""
+    if dfx.is_df(th_sq):
+        return (dfx.poly(th_sq, dfx.SINC3), dfx.poly(th_sq, dfx.COSC4),
+                dfx.poly(th_sq, dfx.C3SER))
     small = th_sq < _EPS
     th_sq_safe = jnp.where(small, 1.0, th_sq)
     th = jnp.sqrt(th_sq_safe)
@@ -292,7 +337,7 @@ def se3_right_jacobian(xi):
     v = -xi[3:]
     Jw = so3_left_jacobian(w)
     Q = _q_matrix(w, v)
-    Z = jnp.zeros_like(Jw)
+    Z = dfx.zeros_like(Jw)
     return blk(Jw, Z, Q, Jw)
 
 
@@ -302,11 +347,11 @@ def se3_right_jacobian_inv(xi):
     v = -xi[3:]
     Jwi = so3_left_jacobian_inv(w)
     Q = _q_matrix(w, v)
-    Z = jnp.zeros_like(Jwi)
+    Z = dfx.zeros_like(Jwi)
     return blk(Jwi, Z, -matmul3(matmul3(Jwi, Q), Jwi), Jwi)
 
 
 def se3_Ad(R, p):
     """Group adjoint [[R, 0], [hat(p) R, R]] as (6,6,B)."""
-    Z = jnp.zeros_like(R)
+    Z = dfx.zeros_like(R)
     return blk(R, Z, matmul3(hat(p), R), R)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from trajectory_optimization_matrix_lie_groups_tpu.ops import dfx
 from trajectory_optimization_matrix_lie_groups_tpu.ops import pallas_lie as pll
 
 
@@ -47,14 +48,14 @@ def stage_dynamics_eval(R, p, xi, u, Jl, Jil, Pu, mg, *, dt, gravity):
     Jxi = pll.matvec(Jl, xi, 6)
     w, v = xi[:3], xi[3:]
     nu = u.shape[0]
-    wrench = jnp.concatenate(
+    wrench = dfx.concatenate(
         [-_cross(w, Jxi[:3]) - _cross(v, Jxi[3:]), -_cross(w, Jxi[3:])],
         axis=0) + pll.matvec(Pu, u, nu)
     if gravity:
         # down = (0, 0, -1): R^T down = -(third row of R)
         g_lin = -mg[0][None, :] * R[2]
-        wrench = wrench + jnp.concatenate(
-            [jnp.zeros_like(g_lin), g_lin], axis=0)
+        wrench = wrench + dfx.concatenate(
+            [dfx.zeros_like(g_lin), g_lin], axis=0)
     fxi = xi + dt * pll.matvec(Jil, wrench, 6)
     return fqR, fqp, fxi
 
@@ -74,21 +75,21 @@ def stage_jacobian(R, xi, Jl, Jil, mg, *, dt, gravity, exact_grav):
     # coad(eta) = ad(eta)^T = [[-hat(ew), -hat(ev)], [0, -hat(ew)]],
     # applied to the [v, w]-SWAPPED twist (reference quirk #1)
     coad_sw = pll.blk(-pll.hat(v), -pll.hat(w),
-                      jnp.zeros((3, 3, B), dtp), -pll.hat(v))
+                      dfx.zeros((3, 3, B), dtp, like=v), -pll.hat(v))
     Ibw = pll.matvec3(Jl[0:3, 0:3, :], w)
     m = Jl[4, 4, :]
     Gw = pll.hat(Ibw)
     Gv = m[None, None, :] * pll.hat(v)
-    G = pll.blk(Gw, Gv, Gv, jnp.zeros((3, 3, B), dtp))
+    G = pll.blk(Gw, Gv, Gv, dfx.zeros((3, 3, B), dtp, like=Gv))
     H = pll.matmul(Jil, pll.matmul(coad_sw, Jl, 6) + G, 6)
     eye6 = pll.blk(pll._eye3(dtp, B), jnp.zeros((3, 3, B), dtp),
                    jnp.zeros((3, 3, B), dtp), pll._eye3(dtp, B))
     if gravity:
         grow = -R[2] if not exact_grav else -(mg[0][None, :] * R[2])
-        Z3 = jnp.zeros((3, 3, B), dtp)
+        Z3 = dfx.zeros((3, 3, B), dtp, like=R)
         J_xi_q = pll.matmul(Jil, pll.blk(Z3, Z3, pll.hat(grow), Z3), 6) * dt
     else:
-        J_xi_q = jnp.zeros((6, 6, B), dtp)
+        J_xi_q = dfx.zeros((6, 6, B), dtp, like=R)
     return pll.blk(J_q_q, J_q_xi, J_xi_q, eye6 + H * dt)
 
 
@@ -106,10 +107,10 @@ def stage_cost_quad(R, p, xi, RbiR, Rbip, Adb, xib, W1, W2):
     JT2 = 2.0 * pll.transpose(Jex)
     W1e = pll.matvec(W1, e, 6)
     W2ev = pll.matvec(W2, ev, 6)
-    lx = jnp.concatenate([pll.matvec(JT2, W1e, 6), 2.0 * W2ev], axis=0)
+    lx = dfx.concatenate([pll.matvec(JT2, W1e, 6), 2.0 * W2ev], axis=0)
     H_e = pll.matmul(pll.matmul(JT2, W1, 6), Jex, 6)
-    lxx = pll.blk(H_e, jnp.zeros((6, 6, B), dtp),
-                  jnp.zeros((6, 6, B), dtp), 2.0 * W2)
+    lxx = pll.blk(H_e, dfx.zeros((6, 6, B), dtp, like=H_e),
+                  dfx.zeros((6, 6, B), dtp, like=H_e), 2.0 * W2)
     l_val = (sum(e[i] * W1e[i] for i in range(6))
              + sum(ev[i] * W2ev[i] for i in range(6)))
     return lx, lxx, l_val

@@ -20,6 +20,7 @@ traces.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -142,6 +143,99 @@ class ALFastSolver:
                                         self.mu_max,
                                         freeze=max_v < self.tol_constr)
         return st, al, constr_eval, converged, outer
+
+    # -- fully-traceable variant (VERDICT round-2 item 6) -------------------
+
+    @staticmethod
+    def _broadcast_al(al: costs.ALParams, B: int) -> costs.ALParams:
+        """Pre-broadcast AL state to per-problem shapes so a fori_loop
+        carry keeps a fixed pytree structure across outer iterations."""
+        if al.lmbd.ndim == 2:
+            N1, c = al.lmbd.shape
+            al = al._replace(
+                lmbd=jnp.broadcast_to(al.lmbd, (B, N1, c)),
+                Imu=jnp.broadcast_to(al.Imu, (B, N1, c, c)),
+                mu=jnp.broadcast_to(al.mu, (B,)))
+        return al
+
+    def _outer_loop_graph(self, inner, dyn_params, al, q0s, xi0s, us0,
+                          q_ref, xi_ref, n_al_iters):
+        """In-graph AL outer loop: fixed budget, per-problem freeze —
+        identical semantics to `_outer_loop` (frozen problems re-solve to
+        the same iterate, so running the full budget is equivalent to the
+        reference's convergence break, traopt_controller.py:3250)."""
+        B = q0s.shape[0]
+        N = us0.shape[1]
+        m = q0s.shape[-1]
+        d = self.inner.model.nx // 2
+        c = al.lmbd.shape[-1]
+        dtp = us0.dtype
+
+        def body(_, carry):
+            al, qs, xis, us, J, ce, mv = carry
+            st = inner._solve({"dyn": dyn_params, "cost": al},
+                              q0s, xi0s, us0, q_ref, xi_ref)
+            ce = self._eval_constraints(al, st.qs, st.xis, st.us)
+            mv = jnp.max(ce, axis=(1, 2))
+            al = costs.al_update_params(al, ce, self.mu_scale, self.mu_max,
+                                        freeze=mv < self.tol_constr)
+            return al, st.qs, st.xis, st.us, st.J_opt, ce, mv
+
+        init = (al,
+                jnp.zeros((B, N + 1, m, m), dtp),
+                jnp.zeros((B, N + 1, d), dtp),
+                jnp.zeros((B, N, self.inner.model.nu), dtp),
+                jnp.zeros((B,), dtp),
+                jnp.zeros((B, N + 1, c), dtp),
+                jnp.full((B,), jnp.inf, dtp))
+        return jax.lax.fori_loop(0, n_al_iters, body, init)
+
+    def solve_in_graph(self, params, q0s, xi0s, us0, q_ref=None, xi_ref=None,
+                       n_al_iters=10, rescue=False, rescue_outers=None):
+        """Fully-traceable AL solve with an optional MASKED rescue.
+
+        Unlike `solve` (host-side convergence break + `np.where` lane
+        patching, fine for offline batches but un-jittable), everything
+        here is one XLA program: the outer loop is a `fori_loop` with
+        per-problem freeze, and ``rescue=True`` re-runs the AL loop with
+        the line-searched inner on ALL lanes, keeping its result only for
+        lanes the fast pass left above tolerance (`jnp.where` on the
+        unconverged mask).  This composes with jit — the closed-loop
+        constrained MPC (`solvers/mpc.py`) uses the same pattern in-graph.
+
+        Returns an `ALFastResult` whose `constr_converged` is a traced
+        bool array (call `bool()` outside jit)."""
+        al0 = params["cost"]
+        if q_ref is None:
+            q_ref = al0.cost.q_ref
+        if xi_ref is None:
+            xi_ref = al0.cost.xi_ref
+        B = q0s.shape[0]
+        al0b = self._broadcast_al(al0, B)
+        al_f, qs, xis, us, J, ce, mv = self._outer_loop_graph(
+            self.inner, params["dyn"], al0b, q0s, xi0s, us0, q_ref, xi_ref,
+            n_al_iters)
+        if rescue:
+            n_r = rescue_outers if rescue_outers is not None \
+                else max(n_al_iters, 20)
+            al_r, qs_r, xis_r, us_r, J_r, ce_r, mv_r = self._outer_loop_graph(
+                self._ls_solver(), params["dyn"], al0b, q0s, xi0s, us0,
+                q_ref, xi_ref, n_r)
+            bad = mv >= self.tol_constr
+            w = lambda r, f: jnp.where(
+                bad.reshape((B,) + (1,) * (f.ndim - 1)), r, f)
+            qs, xis, us = w(qs_r, qs), w(xis_r, xis), w(us_r, us)
+            J, ce = w(J_r, J), w(ce_r, ce)
+            mv = jnp.where(bad, mv_r, mv)
+            al_f = al_f._replace(
+                lmbd=w(al_r.lmbd, al_f.lmbd), Imu=w(al_r.Imu, al_f.Imu),
+                mu=jnp.where(bad, al_r.mu, al_f.mu))
+        return ALFastResult(
+            qs=qs, xis=xis, us=us, J_opt=J, al_params=al_f,
+            constr_eval=ce, max_violation=mv,
+            outer_iterations=n_al_iters,
+            constr_converged=jnp.all(mv < self.tol_constr),
+        )
 
     def _rescue(self, params, q0s, xi0s, us0, qs, xis, us, J_opt,
                 constr_eval, q_ref, xi_ref, n_al_iters):

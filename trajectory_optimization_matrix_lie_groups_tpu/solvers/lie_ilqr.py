@@ -214,10 +214,12 @@ class LieILQR:
             return self._backward_sequential_fixed(lin, mu, delta)
         if cfg.backward == "associative":
             d = lin["d"] if cfg.multiple_shooting else jnp.zeros_like(lin["d"])
-            k, K, Vx_n, Vxx_n = riccati.parallel_backward(
+            # PD-safe O(log N)-depth sweep: whole-sweep batched LM retry with
+            # the reference's mu/delta schedule (solvers/riccati.py docstring)
+            return riccati.parallel_backward_adaptive(
                 lin["Fx"], lin["Fu"], d, lin["Lx"], lin["Lu"], lin["Lxx"],
-                lin["Lux"], lin["Luu"], mu=0.0)
-            return k, K, Vx_n, Vxx_n, mu, delta, jnp.asarray(False)
+                lin["Lux"], lin["Luu"], mu, delta,
+                mu_min=cfg.mu_min, mu_max=cfg.mu_max, delta_0=cfg.delta_0)
         return self._backward_sequential(lin, mu, delta)
 
     def _backward_sequential_fixed(self, lin, mu, delta):

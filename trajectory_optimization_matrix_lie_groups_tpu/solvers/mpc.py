@@ -94,7 +94,8 @@ def make_closed_loop_batch_constrained(pipe, model, T: int, lb, ub,
                                        n_al_iters: int = 4, mu0: float = 1e-2,
                                        mu_scale: float = 10.0,
                                        mu_max: float = 1e8,
-                                       tol_constr: float = 1e-2):
+                                       tol_constr: float = 1e-2,
+                                       rescue=None, rescue_outers: int = 8):
     """Batched closed-loop MPC with input box constraints, fully jitted.
 
     Every plant step runs a FIXED ``n_al_iters`` augmented-Lagrangian outer
@@ -105,6 +106,15 @@ def make_closed_loop_batch_constrained(pipe, model, T: int, lb, ub,
     simulation stays one XLA program).  Returns BatchMPCResult plus a
     (B, T) max-violation history as a 5th field via the J_pred tuple —
     see ``run``'s docstring.
+
+    ``rescue``: optional `solvers.al_fast.ALFastSolver` built on the
+    matching al_cost model and input-box constraint.  When set, any window
+    whose fixed-budget pipeline solve leaves a lane above ``tol_constr``
+    is re-solved IN-GRAPH by the line-searched AL loop on all lanes, and
+    `jnp.where` on the unconverged mask keeps the rescue result only for
+    the hard lanes (VERDICT round-2 item 6: the masked, jittable
+    replacement for the host-side lane patching of `al_fast._rescue`).
+    ``rescue_outers`` bounds the rescue's AL outer iterations.
     """
     H = pipe.N
 
@@ -151,6 +161,26 @@ def make_closed_loop_batch_constrained(pipe, model, T: int, lb, ub,
             qs, xis, us_warm = carry
             cp_t = _window(cp_full, t, H)
             out = al_solve(cp_t, qs, xis, us_warm)
+            if rescue is not None:
+                from trajectory_optimization_matrix_lie_groups_tpu.models import (
+                    constraints as _cs,
+                )
+
+                mv_f = jnp.max(jnp.maximum(
+                    jnp.maximum(lb_a[None, None] - out.us,
+                                out.us - ub_a[None, None]), 0.0),
+                    axis=(1, 2))
+                constr_p = _cs.input_box_params(lb_a, ub_a, nu)
+                alp0 = costs.al_init_params(cp_t, constr_p, H, C, mu0=mu0,
+                                            dtype=dtp)
+                al_b = rescue._broadcast_al(alp0, B)
+                (_, _, _, us_r, J_r, _, _) = rescue._outer_loop_graph(
+                    rescue._ls_solver(), dp, al_b, qs, xis, us_warm,
+                    cp_t.q_ref, cp_t.xi_ref, rescue_outers)
+                bad = mv_f >= tol_constr
+                out = out._replace(
+                    us=jnp.where(bad[:, None, None], us_r, out.us),
+                    J_opt=jnp.where(bad, J_r, out.J_opt))
             u0 = jnp.clip(out.us[:, 0], lb_a, ub_a)  # actuator saturation
             maxv = jnp.maximum(
                 jnp.max(jnp.maximum(lb_a[None, None] - out.us,

@@ -29,6 +29,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from trajectory_optimization_matrix_lie_groups_tpu.ops import dfx
 from trajectory_optimization_matrix_lie_groups_tpu.ops import pallas_lie as pll
 from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_linearize import (
     _linearize_kernel,
@@ -61,6 +62,118 @@ def _cross(a, b):
 
 
 # -- Riccati backward, const-Fu/Luu specialization ---------------------------
+
+def chol_factor_lane(Quu, nu):
+    """Lane-batched nu x nu Cholesky (unrolled); DF-polymorphic."""
+    L = [[None] * nu for _ in range(nu)]
+    for j in range(nu):
+        sv = Quu[j, j, :]
+        for kk in range(j):
+            sv = sv - L[j][kk] * L[j][kk]
+        L[j][j] = dfx.sqrt(sv)
+        inv = 1.0 / L[j][j]
+        for i2 in range(j + 1, nu):
+            sv = Quu[i2, j, :]
+            for kk in range(j):
+                sv = sv - L[i2][kk] * L[j][kk]
+            L[i2][j] = sv * inv
+    return L
+
+
+def chol_solve_lane(L, Bm, nu):
+    """Solve (L L^T) X = Bm for lane-layout Bm (nu, p, B); DF-polymorphic."""
+    Y = [None] * nu
+    for i2 in range(nu):
+        sv = Bm[i2]
+        for kk in range(i2):
+            sv = sv - L[i2][kk][None, :] * Y[kk]
+        Y[i2] = sv / L[i2][i2][None, :]
+    X = [None] * nu
+    for i2 in reversed(range(nu)):
+        sv = Y[i2]
+        for kk in range(i2 + 1, nu):
+            sv = sv - L[kk][i2][None, :] * X[kk]
+        X[i2] = sv / L[i2][i2][None, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nu, 1, 1), 0)
+    if dfx.is_df(Bm):
+        # row placement into the output is plain masking — assemble the hi
+        # and lo planes without DF arithmetic
+        Xp = [dfx.promote(x) for x in X]
+        out_hi = jnp.zeros_like(Bm.hi)
+        out_lo = jnp.zeros_like(Bm.lo)
+        for i2 in range(nu):
+            oh = (rows == i2).astype(Bm.dtype)
+            out_hi = out_hi + oh * Xp[i2].hi[None, :, :]
+            out_lo = out_lo + oh * Xp[i2].lo[None, :, :]
+        return dfx.DF(out_hi, out_lo)
+    out = jnp.zeros_like(Bm)
+    for i2 in range(nu):
+        out = out + (rows == i2).astype(Bm.dtype) * X[i2][None, :, :]
+    return out
+
+
+def riccati_stage(fx, dd, lx_t, lu_t, lxx_t, fu2, fu2T, Luu, Vx, Vxx,
+                  *, nu, glow, half=6, luual_t=None):
+    """One defect-aware Riccati step on lane-layout values; DF-polymorphic.
+
+    Math per `solvers/lie_ilqr.py` / the reference's MS backward pass
+    (traopt_controller.py:1741-1748), exploiting the Lie-family block
+    structure: Fu = [0; fu2] (fu2 = bottom ``half`` rows — constant for the
+    SE(3) free body, per-stage for the 3-D pendulum), Lux = 0, and
+    Fx = [[A, Bb], [C, D]] with C = 0 unless ``glow`` (the gravity J_xi_q /
+    pendulum L block).  ``half`` is the pose-block dimension: 6 for SE(3)
+    (nx = 12), 3 for the SO(3) family (nx = 6).
+    Returns (k, K, Qu, Vx_new, Vxx_new)."""
+    h = half
+    nx = 2 * h
+    A, Bb, D = fx[:h, :h], fx[:h, h:], fx[h:, h:]
+    AT, BbT, DT = pll.transpose(A), pll.transpose(Bb), pll.transpose(D)
+
+    Vmod = Vx + pll.matvec(Vxx, dd, nx)
+    Qx_top = pll.matvec(AT, Vmod[:h], h)
+    Qx_bot = pll.matvec(BbT, Vmod[:h], h) + pll.matvec(DT, Vmod[h:], h)
+    VF_l = pll.matmul(Vxx[:, :h], A, h)
+    VF_r = pll.matmul(Vxx[:, :h], Bb, h) + pll.matmul(Vxx[:, h:], D, h)
+    if glow:
+        C = fx[h:, :h]
+        CT = pll.transpose(C)
+        Qx_top = Qx_top + pll.matvec(CT, Vmod[h:], h)
+        VF_l = VF_l + pll.matmul(Vxx[:, h:], C, h)
+    Qx = lx_t + dfx.concatenate([Qx_top, Qx_bot], axis=0)
+    Qu = lu_t + pll.matvec(fu2T, Vmod[h:], h)
+    VF = dfx.concatenate([VF_l, VF_r], axis=1)
+    Qxx_top = pll.matmul(AT, VF[:h], h)
+    if glow:
+        Qxx_top = Qxx_top + pll.matmul(CT, VF[h:], h)
+    Qxx_bot = pll.matmul(BbT, VF[:h], h) + pll.matmul(DT, VF[h:], h)
+    Qxx = lxx_t + dfx.concatenate([Qxx_top, Qxx_bot], axis=0)
+    Qux = pll.matmul(fu2T, VF[h:], h)                   # Lux = 0
+    Quu = Luu + pll.matmul(fu2T,
+                           pll.matmul(Vxx[h:, h:], fu2, h), h)
+    if luual_t is not None:
+        # diagonal AL penalty add via a one-hot mask (Mosaic: no scatter)
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 1)
+        eye = (r_i == c_i).astype(Quu.dtype)
+        Quu = Quu + eye * luual_t[:, None, :]
+
+    L = chol_factor_lane(Quu, nu)
+    K = -chol_solve_lane(L, Qux, nu)
+    k = -chol_solve_lane(L, Qu[:, None, :], nu)[:, 0, :]
+
+    KT = pll.transpose(K)
+    QuxT = pll.transpose(Qux)
+    KTQuu = pll.matmul(KT, Quu, nu)
+    Vx_new = (Qx + pll.matvec(KTQuu, k, nu) + pll.matvec(KT, Qu, nu)
+              + pll.matvec(QuxT, k, nu))
+    # KT Qux + QuxT K = M + M^T exactly (transpose of a product), so
+    # one matmul + the symmetrized (Qxx + KTQuu K) term gives the same
+    # symmetrized V_xx as the 3-matmul form
+    M = pll.matmul(KT, Qux, nu)
+    S = Qxx + pll.matmul(KTQuu, K, nu)
+    Vxx_new = 0.5 * (S + pll.transpose(S)) + M + pll.transpose(M)
+    return k, K, Qu, Vx_new, Vxx_new
+
 
 def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
                           *rest, nu=NU, chunk=1, glow=False, al=False):
@@ -101,99 +214,51 @@ def _riccati_kernel_const(Fx_ref, d_ref, lx_ref, lu_ref, lxx_ref,
     Vx = Vx_s[:]
     Vxx = Vxx_s[:]
     for t in reversed(range(chunk)):
-        fx = Fx_ref[t]
-        dd = d_ref[t]
-        A, Bb, D = fx[:6, :6], fx[:6, 6:], fx[6:, 6:]
-        AT, BbT, DT = pll.transpose(A), pll.transpose(Bb), pll.transpose(D)
-
-        Vmod = Vx + pll.matvec(Vxx, dd, NX)
-        Qx_top = pll.matvec(AT, Vmod[:6], 6)
-        Qx_bot = pll.matvec(BbT, Vmod[:6], 6) + pll.matvec(DT, Vmod[6:], 6)
-        VF_l = pll.matmul(Vxx[:, :6], A, 6)
-        VF_r = pll.matmul(Vxx[:, :6], Bb, 6) + pll.matmul(Vxx[:, 6:], D, 6)
-        if glow:
-            C = fx[6:, :6]
-            CT = pll.transpose(C)
-            Qx_top = Qx_top + pll.matvec(CT, Vmod[6:], 6)
-            VF_l = VF_l + pll.matmul(Vxx[:, 6:], C, 6)
-        Qx = lx_ref[t] + jnp.concatenate([Qx_top, Qx_bot], axis=0)
-        Qu = lu_ref[t] + pll.matvec(fu2T, Vmod[6:], 6)
-        VF = jnp.concatenate([VF_l, VF_r], axis=1)
-        Qxx_top = pll.matmul(AT, VF[:6], 6)
-        if glow:
-            Qxx_top = Qxx_top + pll.matmul(CT, VF[6:], 6)
-        Qxx_bot = pll.matmul(BbT, VF[:6], 6) + pll.matmul(DT, VF[6:], 6)
-        Qxx = lxx_ref[t] + jnp.concatenate([Qxx_top, Qxx_bot], axis=0)
-        Qux = pll.matmul(fu2T, VF[6:], 6)                   # Lux = 0
-        Quu = Luu + pll.matmul(fu2T,
-                               pll.matmul(Vxx[6:, 6:], fu2, 6), 6)
-        if luual_ref is not None:
-            # diagonal AL penalty add via a one-hot mask (Mosaic: no scatter)
-            r_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 0)
-            c_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 1)
-            eye = (r_i == c_i).astype(Quu.dtype)
-            Quu = Quu + eye * luual_ref[t][:, None, :]
-
-        # lane-batched nu x nu Cholesky + solves (unrolled)
-        L = [[None] * nu for _ in range(nu)]
-        for j in range(nu):
-            sv = Quu[j, j, :]
-            for kk in range(j):
-                sv = sv - L[j][kk] * L[j][kk]
-            L[j][j] = jnp.sqrt(sv)
-            inv = 1.0 / L[j][j]
-            for i2 in range(j + 1, nu):
-                sv = Quu[i2, j, :]
-                for kk in range(j):
-                    sv = sv - L[i2][kk] * L[j][kk]
-                L[i2][j] = sv * inv
-
-        def chol_solve(Bm):
-            Y = [None] * nu
-            for i2 in range(nu):
-                sv = Bm[i2]
-                for kk in range(i2):
-                    sv = sv - L[i2][kk][None, :] * Y[kk]
-                Y[i2] = sv / L[i2][i2][None, :]
-            X = [None] * nu
-            for i2 in reversed(range(nu)):
-                sv = Y[i2]
-                for kk in range(i2 + 1, nu):
-                    sv = sv - L[kk][i2][None, :] * X[kk]
-                X[i2] = sv / L[i2][i2][None, :]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (nu, 1, 1), 0)
-            out = jnp.zeros_like(Bm)
-            for i2 in range(nu):
-                out = out + (rows == i2).astype(Bm.dtype) * X[i2][None, :, :]
-            return out
-
-        K = -chol_solve(Qux)
-        k = -chol_solve(Qu[:, None, :])[:, 0, :]
-
-        KT = pll.transpose(K)
-        QuxT = pll.transpose(Qux)
-        KTQuu = pll.matmul(KT, Quu, nu)
-        Vx_new = (Qx + pll.matvec(KTQuu, k, nu) + pll.matvec(KT, Qu, nu)
-                  + pll.matvec(QuxT, k, nu))
-        # KT Qux + QuxT K = M + M^T exactly (transpose of a product), so
-        # one matmul + the symmetrized (Qxx + KTQuu K) term gives the same
-        # symmetrized V_xx as the 3-matmul form
-        M = pll.matmul(KT, Qux, nu)
-        S = Qxx + pll.matmul(KTQuu, K, nu)
-        Vxx_new = 0.5 * (S + pll.transpose(S)) + M + pll.transpose(M)
-
+        k, K, Qu, Vx, Vxx = riccati_stage(
+            Fx_ref[t], d_ref[t], lx_ref[t], lu_ref[t], lxx_ref[t],
+            fu2, fu2T, Luu, Vx, Vxx, nu=nu, glow=glow,
+            luual_t=None if luual_ref is None else luual_ref[t])
         k_ref[t] = k
         K_ref[t] = K
         # per-stage MS gradient Qu = lu + Fu^T (V_x[t+1] + V_xx[t+1] d[t])
         # emitted in-kernel so the (N,12,12,B) value tensor never touches HBM
         gvec_ref[t] = Qu
-        Vx = Vx_new
-        Vxx = Vxx_new
     Vx_s[:] = Vx
     Vxx_s[:] = Vxx
 
 
 # -- rollout, lane-native with in-kernel Exp(d)/f^-1 -------------------------
+
+def rollout_stage(R_new, p_new, xi_new, qR_t, qp_t, qRn_t, qpn_t, xi_t,
+                  xin_t, u_t, k_t, K_t, d_t, fqR_t, fqp_t, fxi_t,
+                  Jl, Jil, Pu, mg, *, dt, gravity):
+    """One gap-closing rollout step on lane-layout values; DF-polymorphic.
+
+    Mirrors the reference's MS forward pass (traopt_controller.py:2697-2726):
+    feedback on the tangent-space deviation from the nominal, then the
+    group composition x+ = x_next Exp(d) f(xbar)^-1 f(x_new).
+    Returns (R_nn, p_nn, xi_nn, u_new, fqR_n, fqp_n, fxi_new)."""
+    Ri_inv, pi_inv = pll.se3_inverse(qR_t, qp_t)
+    Re, pe = pll.se3_compose(Ri_inv, pi_inv, R_new, p_new)
+    xs_err = dfx.concatenate(
+        [pll.se3_log(Re, pe), xi_new - xi_t], axis=0)
+
+    u_new = u_t + k_t + sum(
+        K_t[:, j, :] * xs_err[j:j + 1, :] for j in range(NX))
+
+    fqR_n, fqp_n, fxi_new = stage_dynamics_eval(
+        R_new, p_new, xi_new, u_new, Jl, Jil, Pu, mg,
+        dt=dt, gravity=gravity)
+
+    edR, edp = pll.se3_exp(d_t[:6])
+    fiR, fip = pll.se3_inverse(fqR_t, fqp_t)
+    R_a, p_a = pll.se3_compose(qRn_t, qpn_t, edR, edp)
+    R_b, p_b = pll.se3_compose(R_a, p_a, fiR, fip)
+    R_nn, p_nn = pll.se3_compose(R_b, p_b, fqR_n, fqp_n)
+    R_nn = pll.so3_normalize(R_nn)
+    xi_nn = xin_t + fxi_new - fxi_t + d_t[6:]
+    return R_nn, p_nn, xi_nn, u_new, fqR_n, fqp_n, fxi_new
+
 
 def _rollout_kernel_lane(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
                          u_ref, k_ref, K_ref, d_ref, fqR_ref, fqp_ref,
@@ -208,28 +273,11 @@ def _rollout_kernel_lane(qR_ref, qp_ref, qRn_ref, qpn_ref, xi_ref, xin_ref,
 
     R_new, p_new, xi_new = R_s[:], p_s[:], xi_s[:]
     for t in range(chunk):
-        Ri_inv, pi_inv = pll.se3_inverse(qR_ref[t], qp_ref[t])
-        Re, pe = pll.se3_compose(Ri_inv, pi_inv, R_new, p_new)
-        xs_err = jnp.concatenate(
-            [pll.se3_log(Re, pe), xi_new - xi_ref[t]], axis=0)
-
-        K = K_ref[t]
-        u_new = u_ref[t] + k_ref[t] + sum(
-            K[:, j, :] * xs_err[j:j + 1, :] for j in range(NX))
-
-        fqR_n, fqp_n, fxi_new = stage_dynamics_eval(
-            R_new, p_new, xi_new, u_new, Jl_ref[:], Jil_ref[:], Pu_ref[:],
-            mg_ref, dt=dt, gravity=gravity)
-
-        d = d_ref[t]
-        edR, edp = pll.se3_exp(d[:6])
-        fiR, fip = pll.se3_inverse(fqR_ref[t], fqp_ref[t])
-        R_a, p_a = pll.se3_compose(qRn_ref[t], qpn_ref[t], edR, edp)
-        R_b, p_b = pll.se3_compose(R_a, p_a, fiR, fip)
-        R_nn, p_nn = pll.se3_compose(R_b, p_b, fqR_n, fqp_n)
-        R_nn = pll.so3_normalize(R_nn)
-        xi_nn = xin_ref[t] + fxi_new - fxi_ref[t] + d[6:]
-
+        R_nn, p_nn, xi_nn, u_new, _, _, _ = rollout_stage(
+            R_new, p_new, xi_new, qR_ref[t], qp_ref[t], qRn_ref[t],
+            qpn_ref[t], xi_ref[t], xin_ref[t], u_ref[t], k_ref[t], K_ref[t],
+            d_ref[t], fqR_ref[t], fqp_ref[t], fxi_ref[t],
+            Jl_ref[:], Jil_ref[:], Pu_ref[:], mg_ref, dt=dt, gravity=gravity)
         oR_ref[t] = R_nn
         op_ref[t] = p_nn
         oxi_ref[t] = xi_nn
@@ -268,31 +316,18 @@ def _rollout_linearize_kernel(
     R_new, p_new, xi_new = R_s[:], p_s[:], xi_s[:]
     for t in range(chunk):
         # ---- rollout step t (same math as _rollout_kernel_lane) ---------
-        Ri_inv, pi_inv = pll.se3_inverse(qR_ref[t], qp_ref[t])
-        Re, pe = pll.se3_compose(Ri_inv, pi_inv, R_new, p_new)
-        xs_err = jnp.concatenate(
-            [pll.se3_log(Re, pe), xi_new - xi_ref[t]], axis=0)
-        K = K_ref[t]
-        u_new = u_ref[t] + k_ref[t] + sum(
-            K[:, j, :] * xs_err[j:j + 1, :] for j in range(NX))
-        fqR_n, fqp_n, fxi_new = stage_dynamics_eval(
-            R_new, p_new, xi_new, u_new, Jl_ref[:], Jil_ref[:], Pu_ref[:],
-            mg_ref, dt=dt, gravity=gravity)
-        d = d_ref[t]
-        edR, edp = pll.se3_exp(d[:6])
-        fiR, fip = pll.se3_inverse(fqR_ref[t], fqp_ref[t])
-        R_a, p_a = pll.se3_compose(qRn_ref[t], qpn_ref[t], edR, edp)
-        R_b, p_b = pll.se3_compose(R_a, p_a, fiR, fip)
-        R_nn, p_nn = pll.se3_compose(R_b, p_b, fqR_n, fqp_n)
-        R_nn = pll.so3_normalize(R_nn)
-        xi_nn = xin_ref[t] + fxi_new - fxi_ref[t] + d[6:]
+        R_nn, p_nn, xi_nn, u_new, fqR_n, fqp_n, fxi_new = rollout_stage(
+            R_new, p_new, xi_new, qR_ref[t], qp_ref[t], qRn_ref[t],
+            qpn_ref[t], xi_ref[t], xin_ref[t], u_ref[t], k_ref[t], K_ref[t],
+            d_ref[t], fqR_ref[t], fqp_ref[t], fxi_ref[t],
+            Jl_ref[:], Jil_ref[:], Pu_ref[:], mg_ref, dt=dt, gravity=gravity)
 
         # ---- linearize stage t of the NEW trajectory --------------------
         # dynamics eval (fqR_n, fqp_n, fxi_new) reused from the rollout;
         # defect against the gap-closed x_{t+1}
         Rni, pni = pll.se3_inverse(R_nn, p_nn)
         Rd, pd = pll.se3_compose(Rni, pni, fqR_n, fqp_n)
-        nd = jnp.concatenate([pll.se3_log(Rd, pd), fxi_new - xi_nn], axis=0)
+        nd = dfx.concatenate([pll.se3_log(Rd, pd), fxi_new - xi_nn], axis=0)
         Fx = stage_jacobian(R_new, xi_new, Jl_ref[:], Jil_ref[:], mg_ref,
                             dt=dt, gravity=gravity, exact_grav=exact_grav)
         nlx, nlxx, nl = stage_cost_quad(

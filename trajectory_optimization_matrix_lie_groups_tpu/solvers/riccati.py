@@ -22,11 +22,22 @@ stage i yields V_i(dx) = 1/2 dx^T Jm dx - eta^T dx, i.e. Vx_i = -eta_i,
 Vxx_i = Jm_i; gains then come from the standard Q-quantities in one batched
 solve over all stages.
 
-This is the mu = 0 recursion: the reference's per-step adaptive
-Levenberg-Marquardt retry is inherently sequential, so the parallel mode
-applies a *fixed* regularization (config `mu`) uniformly instead.  Both
-modes share the same fixed point; parity tests pin the sequential mode,
-performance tests the parallel one.
+Regularization.  The reference's per-step adaptive Levenberg-Marquardt
+retry (`traopt_controller.py:899-923`) is inherently sequential — each
+stage's mu escalation depends on the previous stage's value function.  The
+parallel-prefix equivalent implemented here is a *whole-sweep batched
+retry* (`parallel_backward_adaptive`): run the O(log N) scan at the current
+mu, check every stage's Quu for positive definiteness (batched Cholesky)
+and the outputs for finiteness, and on failure escalate mu with the
+reference's exact delta-doubling schedule and redo the sweep — a
+`lax.while_loop` around the whole scan instead of around each stage.  The
+accepted mu is uniform across stages (slightly more conservative than the
+reference's per-step values; documented deviation per SURVEY §7 hard part
+3), de-escalates on success identically, and reports the same
+`exceeded` flag at mu_max.  With mu threaded through both the stage
+elements (Luu + mu Fu^T Fu, Lux + mu Fu^T Fx) and the gain stage
+(V + mu I), a fixed-mu parallel sweep is algebraically identical to the
+sequential fixed-mu recursion (tests/test_riccati_reg.py pins this).
 """
 
 import jax.numpy as jnp
@@ -48,7 +59,12 @@ def build_elements(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, mu=0.0):
     Lxx (N+1,n,n), Lux (N,m,n), Luu (N,m,m).
     """
     n = Fx.shape[-1]
-    LuuR = Luu + mu * jnp.einsum("nji,njk->nik", Fu, Fu)  # mu fuT fu (LM style)
+    # LM regularization in the reference's form Quu = Luu + fu^T (V+mu I) fu,
+    # Qux = Lux + fu^T (V+mu I) fx — i.e. Luu += mu fu^T fu AND
+    # Lux += mu fu^T fx at the element level (both needed for the fixed-mu
+    # parallel sweep to equal the sequential fixed-mu recursion).
+    LuuR = Luu + mu * jnp.einsum("nji,njk->nik", Fu, Fu)
+    Lux = Lux + mu * jnp.einsum("nji,njk->nik", Fu, Fx)
     Ui_Lux = _solve(LuuR, Lux)                 # Luu^-1 Lux  (N,m,n)
     Ui_Lu = _solve(LuuR, Lu[..., None])[..., 0]  # (N,m)
     Ui_FuT = _solve(LuuR, jnp.swapaxes(Fu, -1, -2))  # (N,m,n)
@@ -125,3 +141,73 @@ def parallel_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, mu=0.0):
     k = -_solve(Quu, Qu[..., None])[..., 0]
     K = -_solve(Quu, Qux)
     return k, K, Vx_next, Vxx_next
+
+
+def _all_quu_pd(Fx, Fu, Luu, Vxx_next, mu):
+    """Batched PD check of every stage's regularized Quu via Cholesky
+    (non-PD -> NaN rows -> non-finite)."""
+    n = Fx.shape[-1]
+    eye = jnp.eye(n, dtype=Fx.dtype)
+    fuT = jnp.swapaxes(Fu, -1, -2)
+    Quu = Luu + fuT @ (Vxx_next + mu * eye) @ Fu
+    Quu = 0.5 * (Quu + jnp.swapaxes(Quu, -1, -2))
+    chol = jnp.linalg.cholesky(Quu)
+    return jnp.all(jnp.isfinite(chol))
+
+
+def parallel_backward_adaptive(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu,
+                               mu, delta, mu_min=1e-6, mu_max=1e10,
+                               delta_0=2.0):
+    """PD-safe parallel-prefix backward: whole-sweep batched LM retry.
+
+    The reference escalates mu per stage inside the sequential recursion
+    (`traopt_controller.py:899-923`); here the O(log N) associative sweep
+    runs at a single mu, every stage's Quu is Cholesky-checked in one
+    batched op, and on any failure (or non-finite scan output — an
+    indefinite Jm can blow up the combine) mu is escalated with the exact
+    reference delta-doubling schedule and the sweep redone.  On success mu
+    de-escalates for the next solver iteration, matching
+    `LieILQR._backward_sequential`'s carry semantics.
+
+    Returns (k, K, Vx_next, Vxx_next, mu_out, delta_out, exceeded) — the
+    same 7-tuple as the sequential backward, so `backward='associative'`
+    drops into the production solvers.
+    """
+    def attempt(m):
+        k, K, Vx_n, Vxx_n = parallel_backward(
+            Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, mu=m)
+        ok = (_all_quu_pd(Fx, Fu, Luu, Vxx_n, m)
+              & jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
+              & jnp.all(jnp.isfinite(Vxx_n)) & jnp.all(jnp.isfinite(Vx_n)))
+        return k, K, Vx_n, Vxx_n, ok
+
+    k0, K0, Vx0, Vxx0, ok0 = attempt(mu)
+
+    def cond(c):
+        return jnp.logical_not(c[0])
+
+    def body(c):
+        _, mu_q, mu_st, dlt, exc, outs = c
+        # failure path: delta' = max(1, d) * d0 ; mu' = max(mu_min, mu*delta')
+        dlt_inc = jnp.maximum(1.0, dlt) * delta_0
+        mu_inc = jnp.maximum(mu_min, mu_q * dlt_inc)
+        hit_max = mu_inc >= mu_max
+        k, K, Vx_n, Vxx_n, ok = attempt(mu_inc)
+        done = ok | hit_max
+        return (done, mu_inc, mu_inc, dlt_inc,
+                exc | (hit_max & jnp.logical_not(ok)),
+                (k, K, Vx_n, Vxx_n))
+
+    done0 = ok0
+    state = (done0, jnp.asarray(mu, Fx.dtype), jnp.asarray(mu, Fx.dtype),
+             jnp.asarray(delta, Fx.dtype), jnp.asarray(False),
+             (k0, K0, Vx0, Vxx0))
+    done, mu_q, mu_st, dlt, exceeded, (k, K, Vx_n, Vxx_n) = lax.while_loop(
+        cond, body, state)
+    # success path de-escalation (ref :1657-1663 semantics)
+    dlt_dec = jnp.minimum(1.0, dlt) / delta_0
+    mu_dec = mu_q * dlt_dec
+    mu_dec = jnp.where(mu_dec <= mu_min, 0.0, mu_dec)
+    mu_out = jnp.where(exceeded, mu_q, mu_dec)
+    delta_out = jnp.where(exceeded, dlt, dlt_dec)
+    return k, K, Vx_n, Vxx_n, mu_out, delta_out, exceeded
