@@ -80,3 +80,47 @@ def test_embedded_matrix_baselines(variant):
     assert J_hist[-1] < J_hist[0]
     Rf = np.asarray(xs[-1][:9]).reshape(3, 3)
     assert np.abs(Rf.T @ Rf - np.eye(3)).max() < 1e-8
+
+
+@pytest.mark.parametrize("form,pendulum", [
+    ("su2", False),
+    ("logcost", False),
+    ("stabilized", False),
+    ("dynconstr", True),
+    ("stabilized_logcost", True),
+])
+def test_so3_family_baselines(form, pendulum):
+    """Round-2 completion of the baseline matrix (VERDICT item 5): SU(2)/R^7
+    and rotation-matrix/R^12 attitude baselines for SO(3) free attitude AND
+    the 3-D pendulum, across all four mechanism families."""
+    from trajectory_optimization_matrix_lie_groups_tpu.baselines.embedded import (
+        solve_so3_family,
+    )
+
+    name = "pendulum_swingup" if pendulum else "so3_tracking"
+    data, solver, params, x0, us0, _ = build_benchmark(name, True)
+    prob = data["prob"]
+    H = 30
+    R_ref = np.asarray(prob["q_ref"])[: H + 1]
+    xi_ref = np.asarray(prob["xi_ref"])[: H + 1]
+    R0 = R_ref[0]
+    w0 = np.asarray(xi_ref[0]).reshape(3) + 0.05
+    kw = {}
+    if pendulum:
+        kw = dict(m=float(prob["m"]), length=float(prob["length"]))
+    xs, us, J_hist, grad_hist, st = solve_so3_family(
+        prob["J"], float(prob["dt"]), R_ref, xi_ref, prob["Q"], prob["R"],
+        prob["P"], (R0, w0), np.zeros((H, 3)), formulation=form,
+        pendulum=pendulum, n_iterations=25, **kw)
+    assert np.isfinite(J_hist[-1])
+    assert J_hist[-1] < J_hist[0]
+    xs = np.asarray(xs)
+    if form == "su2":
+        # quaternion drift exists (no manifold enforcement) but is bounded
+        drift = np.abs(np.linalg.norm(xs[:, :4], axis=-1) - 1.0)
+        assert drift.max() < 0.2
+    else:
+        Rms = xs[:, :9].reshape(-1, 3, 3)
+        viol = np.linalg.norm(
+            Rms @ np.swapaxes(Rms, -1, -2) - np.eye(3), axis=(-2, -1))
+        assert viol.max() < 0.2

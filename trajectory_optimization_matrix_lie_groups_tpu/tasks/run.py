@@ -24,6 +24,7 @@ Tasks mirror the reference scripts:
     al_batch            (new) batched input-constrained solves (ALFastSolver)
     mpc_batch           (new) Monte-Carlo closed-loop MPC on the pipeline
     benchmark_compare   benchmark_SE3_tracking.py (cross-solver agreement)
+    benchmark_compare_so3  benchmark_SO3_tracking.py + benchmark_pendulum_swingup.py
     sweep               visualization/perturb_all_compute.py (reduced ranges)
 
 Benchmark problems are rebuilt from the reference pickles where available;
@@ -682,7 +683,8 @@ def run_benchmark_compare(args):
 
     q_ref_np = np.asarray(cp.q_ref)
     xi_ref_np = np.asarray(cp.xi_ref)
-    for variant in ("dynconstr", "logcost", "stabilized"):
+    for variant in ("dynconstr", "logcost", "stabilized",
+                    "stabilized_logcost"):
         xs, us, J_hist, grad_hist, st = solve_se3_matrix(
             prob["J"], float(prob["dt"]), q_ref_np, xi_ref_np,
             prob["Q"], prob["R"], prob["P"], (q0, xi0), us0,
@@ -697,6 +699,94 @@ def run_benchmark_compare(args):
     dj = abs(out["ms_ilqr"]["J_final"] - out["ss_ilqr"]["J_final"])
     out["ms_ss_J_gap"] = dj
     print(json.dumps(dict(task="benchmark_compare", horizon=H, solvers=out)))
+
+
+def run_benchmark_compare_so3(args):
+    """SO(3)-family cross-solver agreement (ref `benchmark_SO3_tracking.py`
+    and `benchmark_pendulum_swingup.py`): MS-iLQR vs SS-iLQR vs the
+    embedded SU(2) baseline and all four embedded-matrix mechanism
+    families, on the SO(3) attitude-tracking slice AND the 3-D pendulum
+    swing-up, with the reference's agreement metrics — orthogonality
+    violation, dynamics violation via one-step re-simulation, final
+    tracking error (benchmark_SO3_tracking.py:414-518 analogues)."""
+    import dataclasses
+
+    from trajectory_optimization_matrix_lie_groups_tpu.baselines.embedded import (
+        solve_so3_family,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SO3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import LieILQR
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.utils import metrics
+
+    results = {}
+    for bench_name, pendulum, H in (("so3_tracking", False, 80),
+                                    ("pendulum_swingup", True, 80)):
+        data, solver_ms, params, x0, _, _ = build_benchmark(bench_name, True)
+        prob = data["prob"]
+        cp = params["cost"]
+        H = min(H, cp.q_ref.shape[0] - 1)
+        cut = lambda a: a[: H + 1]
+        cp = cp._replace(q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+                         Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))
+        params = {**params, "cost": cp}
+        q0 = SO3.normalize(cp.q_ref[0] @ SO3.exp(
+            jnp.asarray([0.02, -0.01, 0.03], cp.xi_ref.dtype)))
+        xi0 = cp.xi_ref[0] + 0.05
+        us0 = jnp.zeros((H, 3), cp.xi_ref.dtype)
+        model = solver_ms.model
+        out = {}
+
+        def lie_metrics(name, qs, xis, us, J_hist, params=params,
+                        model=model, cp=cp, out=out):
+            orth = metrics.orthogonality_violation(qs)
+            dyn_v = metrics.dynamics_violation(model, params, qs, xis, us)
+            track = metrics.tracking_errors(SO3, cp, qs, xis)
+            out[name] = dict(
+                J_final=float(J_hist[-1]),
+                orthogonality_violation_max=float(jnp.max(orth)),
+                dynamics_violation_max=float(jnp.max(dyn_v)),
+                tracking_err_final=float(track[0][-1]),
+            )
+
+        for name, ms in (("ms_ilqr", True), ("ss_ilqr", False)):
+            cfg = dataclasses.replace(solver_ms.cfg, N=H,
+                                      multiple_shooting=ms,
+                                      max_iterations=100)
+            s = LieILQR(model, cfg)
+            (qs, xis), us, J_hist, *_ = s.fit(params, (q0, xi0), us0)
+            lie_metrics(name, qs, xis, us, J_hist)
+
+        R_ref_np = np.asarray(cp.q_ref)
+        xi_ref_np = np.asarray(cp.xi_ref)
+        pend_kw = {}
+        if pendulum:
+            pend_kw = dict(m=float(prob["m"]), length=float(prob["length"]),
+                           g=float(prob.get("g", 9.8)))
+        for form in ("su2", "dynconstr", "logcost", "stabilized",
+                     "stabilized_logcost"):
+            xs, us_b, J_hist, grad_hist, st = solve_so3_family(
+                prob["J"], float(prob["dt"]), R_ref_np, xi_ref_np,
+                prob["Q"], prob["R"], prob["P"],
+                (np.asarray(q0), np.asarray(xi0)), np.asarray(us0),
+                formulation=form, pendulum=pendulum, n_iterations=60,
+                **pend_kw)
+            rec = dict(J_final=float(J_hist[-1]))
+            xs = np.asarray(xs)
+            if form == "su2":
+                rec["quat_norm_violation_max"] = float(np.max(np.abs(
+                    np.linalg.norm(xs[:, :4], axis=-1) - 1.0)))
+            else:
+                Rms = xs[:, :9].reshape(-1, 3, 3)
+                rec["orthogonality_violation_max"] = float(np.max(np.asarray(
+                    metrics.orthogonality_violation(Rms))))
+            out[f"baseline_{form}"] = rec
+        out["ms_ss_J_gap"] = abs(out["ms_ilqr"]["J_final"]
+                                 - out["ss_ilqr"]["J_final"])
+        results[bench_name] = dict(horizon=H, solvers=out)
+    print(json.dumps(dict(task="benchmark_compare_so3", **results)))
 
 
 def run_al_batch(args):
@@ -940,6 +1030,7 @@ TASKS = {
     "mpc_batch": run_mpc_batch,
     "mpc_batch_constrained": run_mpc_batch_constrained,
     "benchmark_compare": run_benchmark_compare,
+    "benchmark_compare_so3": run_benchmark_compare_so3,
     "sweep": run_sweep_task,
     "rollout_sweep": run_rollout_sweep_task,
 }
