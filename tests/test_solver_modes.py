@@ -66,3 +66,21 @@ def test_ms_associative_backward_same_solution():
     us_ref = np.asarray(data[sol_key]["us"])
     err = np.max(np.abs(np.asarray(us_a) - us_ref))
     assert err < 1e-4, f"associative solution off by {err:.3e}"
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("name", ["se3_tracking", "se3_generate",
+                                  "se3_drone_path", "drone_racing",
+                                  "so3_tracking", "pendulum_swingup"])
+def test_ms_associative_all_benchmarks(name):
+    """Round-2 item 3 'done' gate: the PD-safe parallel-prefix backward
+    (`riccati.parallel_backward_adaptive` via backward='associative')
+    reproduces every reference benchmark's converged controls within the
+    1e-4 parity gate."""
+    data, solver, params, x0, us0, sol_key = build_benchmark(name, True)
+    cfg_a = dataclasses.replace(solver.cfg, backward="associative")
+    solver_a = LieILQR(solver.model, cfg_a)
+    (_, _), us_a, J_hist, grad_hist, _, st = solver_a.fit(params, x0, us0)
+    us_ref = np.asarray(data[sol_key]["us"])
+    err = np.max(np.abs(np.asarray(us_a) - us_ref))
+    assert err < 1e-4, f"{name}: associative solution off by {err:.3e}"

@@ -78,3 +78,29 @@ def test_cli_benchmark_compare(capsys):
     for name in ("baseline_dynconstr", "baseline_logcost",
                  "baseline_stabilized"):
         assert s[name]["orthogonality_violation_max"] < 1e-2
+
+
+@pytest.mark.parity
+def test_cli_benchmark_compare_so3(capsys):
+    main(["benchmark_compare_so3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    pend = out["pendulum_swingup"]["solvers"]
+    # MS and SS agree on the pendulum; log-cost baselines land near the
+    # Lie solvers' objective; all matrix baselines stay near-orthogonal
+    assert pend["ms_ss_J_gap"] < 1e-3
+    assert abs(pend["baseline_logcost"]["J_final"]
+               - pend["ms_ilqr"]["J_final"]) < 0.5
+    for k, v in pend.items():
+        if isinstance(v, dict) and "orthogonality_violation_max" in v:
+            assert v["orthogonality_violation_max"] < 1e-2
+
+
+@pytest.mark.parity
+def test_cli_se3_al_ms_associative(capsys):
+    """The constrained AL task now runs on the PD-safe parallel-prefix
+    backward (backward='associative') — VERDICT round-2 item 3 wiring."""
+    main(["se3_al_ms"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["constr_converged"]
+    assert out["max_violation"] < 1e-2
+    assert out["u_range"][0] >= -100.1 and out["u_range"][1] <= 100.1

@@ -125,8 +125,14 @@ def run_al(args):
     al_cd = costs.al_cost(cd, constr)
     model_c, _ = make_model(dyn, al_cd, dp, None)
     alp = costs.al_init_params(cp, constr_p, H, constr.constr_size, mu0=1e-2)
+    # production configuration of the PD-safe parallel-prefix Riccati
+    # (solvers/riccati.parallel_backward_adaptive): O(log N)-depth backward
+    # with the whole-sweep batched LM retry, on the constrained task whose
+    # AL penalty escalation (mu up to 1e8 on Quu) is exactly where PD
+    # safety earns its keep
     cfg = SolverConfig(N=H, multiple_shooting=True, rollout="nonlinear",
-                       tol_grad_norm=1e-8, max_iterations=100)
+                       tol_grad_norm=1e-8, max_iterations=100,
+                       backward="associative")
     inner = LieILQR(model_c, cfg)
     al = ALILQR(inner, constr, tol_constr=1e-2)
     q0 = SE3.normalize(q_ref[0] @ SE3.exp(jnp.asarray([0.02, -0.01, 0.03, 0.05, -0.02, 0.01])))
@@ -1041,7 +1047,14 @@ def main(argv=None):
     ap.add_argument("task", choices=sorted(TASKS))
     ap.add_argument("--plot", default=None, help="directory for output figures")
     ap.add_argument("--x64", action="store_true", help="enable float64")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (required for f64 tasks "
+                         "when a TPU is attached: TPU XLA has no f64 LU, "
+                         "and env vars alone cannot override the "
+                         "sitecustomize'd remote platform)")
     args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.x64:
         jax.config.update("jax_enable_x64", True)
     if args.plot:
