@@ -114,3 +114,54 @@ def test_tracking_errorstate_linear_rollout():
     state, J_hist, grad_hist, _ = solver.fit(cp, p, us0)
     assert np.isfinite(J_hist[-1])
     assert J_hist[-1] <= J_hist[0]
+
+
+def test_derivative_compare_runtime_flag():
+    """Round-2 VERDICT item 10: the runtime analytic-vs-autodiff Jacobian
+    check (the reference's debug={'derivative_compare': True},
+    traopt_controller.py:3585-3624).  For the EULER step the autodiff of
+    the linear-in-x error-state dynamics differs from the reference's
+    frozen-coefficient analytic At only through the state-dependent
+    coefficient terms, which vanish when the dynamics are evaluated at the
+    anchor (x = [0; xi_ref]) — there the two must agree to roundoff."""
+    import dataclasses
+    import warnings
+
+    import jax.numpy as jnp
+
+    from trajectory_optimization_matrix_lie_groups_tpu.models import errorstate as es
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.errorstate_ilqr import (
+        ErrorStateILQR,
+        ESConfig,
+    )
+
+    N, dt = 20, 0.01
+    J = jnp.block([
+        [jnp.diag(jnp.array([0.5, 0.7, 0.9])), jnp.zeros((3, 3))],
+        [jnp.zeros((3, 3)), jnp.eye(3)],
+    ])
+    q_ref = jnp.broadcast_to(jnp.eye(4), (N + 1, 4, 4))
+    xi_ref = jnp.broadcast_to(jnp.asarray([0.1, -0.2, 0.3, 1.0, 0.0, 0.5]),
+                              (N + 1, 6))
+    p = es.errorstate_params(J, dt, q_ref, xi_ref)
+    cp = es.tracking_cost_params_like = None  # unused by the check
+    cfg = ESConfig(N=N, mode="tracking", derivative_compare=True)
+    solver = ErrorStateILQR(cfg, cost=lambda *a, **k: 0.0)
+
+    # trajectory AT the anchor: x = [psi = 0; xi = xi_ref]
+    xs = jnp.concatenate([jnp.zeros((N + 1, 6)),
+                          jnp.asarray(p.xi_ref)], axis=-1)
+    us = jnp.zeros((N, 6))
+    rep = solver.derivative_compare(p, xs, us)
+    # at the anchor the frozen-coefficient terms contribute ~|dxi|=0
+    assert rep["fu_max_dev"] < 1e-12
+    assert rep["fx_max_dev"] < 5e-3  # H(xi)xi + bt(xi) curvature at xi_ref
+
+    # off-anchor the deviation is the documented frozen-coefficient gap;
+    # the check must WARN, not fail (the reference's branch was `pass`)
+    xs_off = xs.at[:, 6:].add(0.5)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rep_off = solver.derivative_compare(p, xs_off, us, tol=1e-9)
+    assert not rep_off["within_tol"]
+    assert any("derivative_compare" in str(x.message) for x in w)

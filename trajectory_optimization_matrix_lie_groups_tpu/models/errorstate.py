@@ -105,6 +105,34 @@ def jac_autodiff(step):
     return jac
 
 
+def jac_analytic(p: ErrorStateParams, x, u, i):
+    """The reference's ANALYTIC error-state Jacobians
+    (`At`/`Bt`, traopt_dynamics.py:1742-1800): continuous
+    At = [[-ad(xi_ref), I], [0, Ht]] with Ht = Jinv(coad(xi) J + G(xi)),
+    Bt = [0; Jinv]; Euler-discretized Fx = I + At dt, Fu = Bt dt.
+
+    Note Ht is the frozen-coefficient Jacobian: the exact derivative of
+    xi_dot = Ht(xi) xi + bt(xi) + Jinv u carries extra d(Ht xi + bt)/dxi
+    terms the reference (and this twin) drop — the discrepancy its
+    `derivative_compare` debug flag measures
+    (`traopt_controller.py:3585-3624`)."""
+    del u
+    xi = x[..., 6:]
+    H = p.Jinv @ (se3.coad(xi) @ p.J + _G(p, xi))
+    Z = jnp.zeros_like(H)
+    eye6 = jnp.broadcast_to(jnp.eye(6, dtype=x.dtype), H.shape)
+    ad_ref = jnp.broadcast_to(se3.ad(p.xi_ref[i]), H.shape)
+    At = jnp.concatenate([
+        jnp.concatenate([-ad_ref, eye6], axis=-1),
+        jnp.concatenate([Z, H], axis=-1),
+    ], axis=-2)
+    Bt = jnp.concatenate(
+        [jnp.zeros_like(p.Jinv), p.Jinv], axis=-2)
+    Fx = jnp.broadcast_to(jnp.eye(12, dtype=x.dtype), At.shape) + At * p.dt
+    Fu = jnp.broadcast_to(Bt, x.shape[:-1] + (12, 6)) * p.dt
+    return Fx, Fu
+
+
 def group_step(p: ErrorStateParams, q, xi, u, i):
     """Exact nonlinear group rollout step (`_fd_euler_fc_group`, ref :2371)."""
     q_next = se3.normalize(q @ se3.exp(xi * p.dt))

@@ -50,6 +50,14 @@ class ESConfig:
     tol_J: float = 1e-6
     tol_grad_norm: float = 1e-3
     max_iterations: int = 100
+    # runtime analytic-vs-autodiff Jacobian check (the reference's
+    # debug={'derivative_compare': True}, traopt_dynamics.py:1905-1933 /
+    # traopt_controller.py:3585-3624): when on, `fit` compares both
+    # Jacobian paths along the current trajectory each call and stores the
+    # report (see ErrorStateILQR.derivative_compare); the reference's
+    # failure branch was `pass` — here a warning is emitted above tol
+    derivative_compare: bool = False
+    derivative_compare_tol: float = 1e-6
 
 
 class ESState(NamedTuple):
@@ -312,11 +320,48 @@ class ErrorStateILQR:
             accepted=jnp.asarray(False), failed=jnp.asarray(False),
         )
 
+    def derivative_compare(self, params, xs, us, tol=None):
+        """Analytic-vs-autodiff Jacobian comparison along a trajectory.
+
+        The runtime twin of the reference's `derivative_compare` debug mode
+        (`traopt_dynamics.py:1905-1933`, threshold check at
+        `traopt_controller.py:3616-3624` — whose failure branch is `pass`).
+        Returns {'fx_max_dev', 'fu_max_dev', 'within_tol'} and warns when
+        the deviation exceeds ``tol`` (the deviation is the frozen-
+        coefficient approximation of the analytic Ht — see
+        `models/errorstate.jac_analytic`)."""
+        import warnings
+
+        tol = self.cfg.derivative_compare_tol if tol is None else tol
+        idx = jnp.arange(us.shape[0])
+        jac_ad = es.jac_autodiff(self.step)
+        fx_d, fu_d = jax.vmap(lambda x, u, i: jac_ad(params, x, u, i))(
+            xs[:-1], us, idx)
+        fx_a, fu_a = jax.vmap(lambda x, u, i: es.jac_analytic(params, x, u, i))(
+            xs[:-1], us, idx)
+        rep = dict(
+            fx_max_dev=float(jnp.max(jnp.abs(fx_d - fx_a))),
+            fu_max_dev=float(jnp.max(jnp.abs(fu_d - fu_a))),
+        )
+        rep["within_tol"] = (rep["fx_max_dev"] < tol
+                             and rep["fu_max_dev"] < tol)
+        if not rep["within_tol"]:
+            warnings.warn(
+                f"derivative_compare: analytic vs autodiff Jacobians "
+                f"deviate by fx={rep['fx_max_dev']:.2e} "
+                f"fu={rep['fu_max_dev']:.2e} (> {tol:g}); the analytic Ht "
+                f"freezes the state-dependent coefficients "
+                f"(models/errorstate.jac_analytic docstring)")
+        return rep
+
     def fit(self, cost_params, params, us_init, n_iterations=None,
             on_iteration=None, x0=None):
         cfg = self.cfg
         n_iterations = n_iterations or cfg.max_iterations
         state = self.init_state(params, us_init, x0=x0)
+        if cfg.derivative_compare:
+            self.derivative_compare_report = self.derivative_compare(
+                state.params, state.xs, us_init)
         J_hist, grad_hist = [], []
         for _ in range(n_iterations):
             state, took = self._iteration_jit(cost_params, state)

@@ -668,6 +668,7 @@ def run_benchmark_compare(args):
     us0 = jnp.zeros((H, 6), cp.xi_ref.dtype)
     model = solver_ms.model
     out = {}
+    artifacts = {}
 
     def lie_metrics(name, qs, xis, us, J_hist):
         orth = metrics.orthogonality_violation(qs)
@@ -684,8 +685,12 @@ def run_benchmark_compare(args):
         cfg = dataclasses.replace(solver_ms.cfg, N=H, multiple_shooting=ms,
                                   max_iterations=100)
         s = LieILQR(model, cfg)
-        (qs, xis), us, J_hist, *_ = s.fit(params, (q0, xi0), us0)
+        (qs, xis), us, J_hist, grad_hist, defect_hist, _ = s.fit(
+            params, (q0, xi0), us0)
         lie_metrics(name, qs, xis, us, J_hist)
+        artifacts[name] = dict(xs=dict(qs=qs, xis=xis), us=us,
+                               J_hist=J_hist, grad_hist=grad_hist,
+                               defect_hist=defect_hist)
 
     q_ref_np = np.asarray(cp.q_ref)
     xi_ref_np = np.asarray(cp.xi_ref)
@@ -701,9 +706,25 @@ def run_benchmark_compare(args):
             orthogonality_violation_max=float(np.max(np.asarray(
                 metrics.orthogonality_violation(Rms)))),
         )
+        artifacts[f"{variant}_euc"] = dict(xs=xs, us=us, J_hist=J_hist,
+                                           grad_hist=grad_hist)
     # cross-solver agreement: the Lie solvers must agree closely
     dj = abs(out["ms_ilqr"]["J_final"] - out["ss_ilqr"]["J_final"])
     out["ms_ss_J_gap"] = dj
+    if args.plot:
+        # reference-format result artifact (benchmark_SE3_tracking.py:272-345)
+        from trajectory_optimization_matrix_lie_groups_tpu.utils import (
+            save_benchmark_pickle,
+        )
+
+        save_benchmark_pickle(
+            f"{args.plot}/results_benchmark_compare.pkl",
+            dict(J=prob["J"], dt=prob["dt"], q_ref=np.asarray(cp.q_ref),
+                 xi_ref=np.asarray(cp.xi_ref),
+                 x0=(np.asarray(q0), np.asarray(xi0)),
+                 Q=prob["Q"], P=prob["P"], R=prob["R"]),
+            artifacts)
+        out["pickle"] = f"{args.plot}/results_benchmark_compare.pkl"
     print(json.dumps(dict(task="benchmark_compare", horizon=H, solvers=out)))
 
 

@@ -37,6 +37,37 @@ def load_benchmark_pickle(path):
         return pickle.load(f)
 
 
+def save_benchmark_pickle(path, prob, solvers):
+    """Write a benchmark results pickle in the REFERENCE's schema
+    (`benchmark_SE3_tracking.py:272-345`): a dict with a 'prob' entry
+    (problem spec: J, dt, q_ref, xi_ref, x0, Q, P, R) and one entry per
+    solver holding (xs, us, J_hist, grad_hist[, defect_hist]) — so future
+    runs (of this framework or the reference's own `load_results_pickle`)
+    can cross-compare against today's solutions.
+
+    ``prob``: mapping with the spec keys (arrays converted to numpy).
+    ``solvers``: {name: {xs|qs/xis, us, J_hist, grad_hist, defect_hist?}}.
+    The Lie solvers' state is stored as {'qs': (N+1,m,m), 'xis': (N+1,d)}
+    under 'xs' (the reference stores per-stage [q, xi] object pairs;
+    the array pair carries the same information losslessly).
+    """
+    def conv(v):
+        if hasattr(v, "shape"):
+            return np.asarray(v)
+        if isinstance(v, (list, tuple)):
+            return type(v)(conv(e) for e in v)
+        if isinstance(v, dict):
+            return {k: conv(e) for k, e in v.items()}
+        return v
+
+    data = {"prob": {k: conv(v) for k, v in prob.items()}}
+    for name, rec in solvers.items():
+        data[name] = {k: conv(v) for k, v in rec.items()}
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    return path
+
+
 def generate_reference(q0, xi_of_i, N, dt):
     """Generate a reference trajectory by twist integration.
 
