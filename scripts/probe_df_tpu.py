@@ -38,10 +38,10 @@ from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_pipeline import (
     join_us,
 )
 
-B = 8 if SMALL else int(os.environ.get("B", "1024"))
-H = 20 if SMALL else bench.HORIZON
-F32_ITERS = 4 if SMALL else bench.ITERS
-DF_ITERS = 2 if SMALL else int(os.environ.get("DF_ITERS", "2"))
+B = 4 if SMALL else int(os.environ.get("B", "1024"))
+H = 8 if SMALL else bench.HORIZON
+F32_ITERS = 2 if SMALL else bench.ITERS
+DF_ITERS = 1 if SMALL else int(os.environ.get("DF_ITERS", "2"))
 TILE = None if SMALL else min(256, B)
 
 # f64 problem data built HOST-SIDE in numpy: the DF split must see full
@@ -54,8 +54,9 @@ q0_anchor = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_q0.npy"))
 xi0_anchor = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_xi0.npy"))
 us_golden = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_us.npy"))
 if SMALL:
-    q0_anchor = np.asarray(q_ref64[0])
-    xi0_anchor = np.asarray(xi_ref64[0])
+    # derive SMALL-mode anchors from the f64 problem data itself
+    q0_anchor = np.asarray(params64["cost"].q_ref[0])
+    xi0_anchor = np.asarray(params64["cost"].xi_ref[0])
 
 
 def make_batch(seed):

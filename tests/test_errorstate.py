@@ -119,21 +119,15 @@ def test_tracking_errorstate_linear_rollout():
 def test_derivative_compare_runtime_flag():
     """Round-2 VERDICT item 10: the runtime analytic-vs-autodiff Jacobian
     check (the reference's debug={'derivative_compare': True},
-    traopt_controller.py:3585-3624).  For the EULER step the autodiff of
-    the linear-in-x error-state dynamics differs from the reference's
-    frozen-coefficient analytic At only through the state-dependent
-    coefficient terms, which vanish when the dynamics are evaluated at the
-    anchor (x = [0; xi_ref]) — there the two must agree to roundoff."""
-    import dataclasses
+    traopt_controller.py:3585-3624).  For the EULER step the analytic
+    At is the *exact* Jacobian everywhere (the G terms cancel in
+    fc_errstate and coad(xi)J + G(xi) is the exact derivative of
+    coad(xi)Jxi — see models/errorstate.jac_analytic), so the check must
+    agree to roundoff both at and off the anchor; a genuine deviation
+    only appears for the RK4 step, where the analytic form stays the
+    first-order I + At dt, and there the check must WARN, not fail (the
+    reference's failure branch was `pass`)."""
     import warnings
-
-    import jax.numpy as jnp
-
-    from trajectory_optimization_matrix_lie_groups_tpu.models import errorstate as es
-    from trajectory_optimization_matrix_lie_groups_tpu.solvers.errorstate_ilqr import (
-        ErrorStateILQR,
-        ESConfig,
-    )
 
     N, dt = 20, 0.01
     J = jnp.block([
@@ -144,7 +138,6 @@ def test_derivative_compare_runtime_flag():
     xi_ref = jnp.broadcast_to(jnp.asarray([0.1, -0.2, 0.3, 1.0, 0.0, 0.5]),
                               (N + 1, 6))
     p = es.errorstate_params(J, dt, q_ref, xi_ref)
-    cp = es.tracking_cost_params_like = None  # unused by the check
     cfg = ESConfig(N=N, mode="tracking", derivative_compare=True)
     solver = ErrorStateILQR(cfg, cost=lambda *a, **k: 0.0)
 
@@ -153,15 +146,23 @@ def test_derivative_compare_runtime_flag():
                           jnp.asarray(p.xi_ref)], axis=-1)
     us = jnp.zeros((N, 6))
     rep = solver.derivative_compare(p, xs, us)
-    # at the anchor the frozen-coefficient terms contribute ~|dxi|=0
     assert rep["fu_max_dev"] < 1e-12
-    assert rep["fx_max_dev"] < 5e-3  # H(xi)xi + bt(xi) curvature at xi_ref
+    assert rep["fx_max_dev"] < 1e-12  # Euler analytic Jacobian is exact
+    assert rep["within_tol"]
 
-    # off-anchor the deviation is the documented frozen-coefficient gap;
-    # the check must WARN, not fail (the reference's branch was `pass`)
+    # off-anchor the Euler analytic Jacobian is STILL exact
     xs_off = xs.at[:, 6:].add(0.5)
+    rep_off = solver.derivative_compare(p, xs_off, us, tol=1e-9)
+    assert rep_off["within_tol"], rep_off
+
+    # RK4: the analytic form drops the O(dt^2) composition terms — a real,
+    # documented deviation; the check warns and reports it
+    solver_rk4 = ErrorStateILQR(cfg, cost=lambda *a, **k: 0.0,
+                                step=es.step_rk4)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        rep_off = solver.derivative_compare(p, xs_off, us, tol=1e-9)
-    assert not rep_off["within_tol"]
+        rep_rk4 = solver_rk4.derivative_compare(p, xs_off, us, tol=1e-9)
+    assert not rep_rk4["within_tol"]
+    assert rep_rk4["fx_max_dev"] > 1e-9  # O(dt^2) gap is real
+    assert np.isfinite(rep_rk4["fx_max_dev"])
     assert any("derivative_compare" in str(x.message) for x in w)

@@ -111,11 +111,17 @@ def jac_analytic(p: ErrorStateParams, x, u, i):
     At = [[-ad(xi_ref), I], [0, Ht]] with Ht = Jinv(coad(xi) J + G(xi)),
     Bt = [0; Jinv]; Euler-discretized Fx = I + At dt, Fu = Bt dt.
 
-    Note Ht is the frozen-coefficient Jacobian: the exact derivative of
-    xi_dot = Ht(xi) xi + bt(xi) + Jinv u carries extra d(Ht xi + bt)/dxi
-    terms the reference (and this twin) drop — the discrepancy its
-    `derivative_compare` debug flag measures
-    (`traopt_controller.py:3585-3624`)."""
+    For the EULER step this is the *exact* Jacobian of `step_euler`: in
+    `fc_errstate` the G terms cancel algebraically
+    (Ht(xi) xi + bt(xi) = Jinv coad(xi) J xi) and
+    d/dxi [coad(xi) J xi] = coad(xi) J + G(xi), so autodiff of the Euler
+    map agrees with I + At dt to roundoff at every x — not just at the
+    anchor.  A genuine analytic-vs-autodiff gap (what the reference's
+    `derivative_compare` debug flag measures,
+    `traopt_controller.py:3585-3624`) appears only for higher-order
+    integrators (`step_rk4`), where this closed form stays first-order
+    I + At dt while the autodiff Jacobian carries the O(dt^2) composition
+    terms."""
     del u
     xi = x[..., 6:]
     H = p.Jinv @ (se3.coad(xi) @ p.J + _G(p, xi))

@@ -327,9 +327,11 @@ class ErrorStateILQR:
         (`traopt_dynamics.py:1905-1933`, threshold check at
         `traopt_controller.py:3616-3624` — whose failure branch is `pass`).
         Returns {'fx_max_dev', 'fu_max_dev', 'within_tol'} and warns when
-        the deviation exceeds ``tol`` (the deviation is the frozen-
-        coefficient approximation of the analytic Ht — see
-        `models/errorstate.jac_analytic`)."""
+        the deviation exceeds ``tol``.  For the Euler step the analytic
+        Jacobian is exact (see `models/errorstate.jac_analytic`), so any
+        deviation flags a real regression; with `step_rk4` the analytic
+        form stays first-order I + At dt and an O(dt^2) deviation is
+        expected."""
         import warnings
 
         tol = self.cfg.derivative_compare_tol if tol is None else tol
@@ -349,9 +351,9 @@ class ErrorStateILQR:
             warnings.warn(
                 f"derivative_compare: analytic vs autodiff Jacobians "
                 f"deviate by fx={rep['fx_max_dev']:.2e} "
-                f"fu={rep['fu_max_dev']:.2e} (> {tol:g}); the analytic Ht "
-                f"freezes the state-dependent coefficients "
-                f"(models/errorstate.jac_analytic docstring)")
+                f"fu={rep['fu_max_dev']:.2e} (> {tol:g}); expected only "
+                f"for higher-order integrators (the analytic form is the "
+                f"Euler-exact I + At dt — models/errorstate.jac_analytic)")
         return rep
 
     def fit(self, cost_params, params, us_init, n_iterations=None,

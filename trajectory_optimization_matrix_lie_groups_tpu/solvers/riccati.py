@@ -210,4 +210,17 @@ def parallel_backward_adaptive(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu,
     mu_dec = jnp.where(mu_dec <= mu_min, 0.0, mu_dec)
     mu_out = jnp.where(exceeded, mu_q, mu_dec)
     delta_out = jnp.where(exceeded, dlt, dlt_dec)
+    # On `exceeded` the last attempt may carry non-finite rows (failed
+    # Cholesky); the sequential backward always returns finite gains at
+    # mu_max, and nothing in the fixed-budget drivers acts on `exceeded`
+    # — so sanitize branchlessly: zero gains (a no-op control update the
+    # line search will reject) and the pure-cost value function where the
+    # scan output went non-finite.  No-ops on the success path.
+    def _fin(x, fb):
+        return jnp.where(jnp.isfinite(x), x, fb)
+
+    k = _fin(k, jnp.zeros_like(k))
+    K = _fin(K, jnp.zeros_like(K))
+    Vx_n = _fin(Vx_n, Lx[1:])
+    Vxx_n = _fin(Vxx_n, Lxx[1:])
     return k, K, Vx_n, Vxx_n, mu_out, delta_out, exceeded
