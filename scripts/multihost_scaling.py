@@ -168,7 +168,7 @@ def run_orchestrator(args):
     t2s = [json.loads(o.strip().splitlines()[-1])["wall_s"] for o in outs]
     t2 = max(t2s)  # job time = slowest process
 
-    print(json.dumps(dict(
+    result = dict(
         task="multihost_scaling_proxy",
         per_device_batch=PER_DEV_BATCH, horizon=H, iters=ITERS,
         t_1proc_4dev_s=t1, t_2proc_8dev_s=t2, per_proc_s=t2s,
@@ -185,7 +185,12 @@ def run_orchestrator(args):
               "path (jax.distributed + global mesh + shard placement + "
               "cross-process gather), not DCN bandwidth.  See module "
               "docstring for the real 2-host TPU invocation."),
-    )))
+    )
+    print(json.dumps(result))
+    from trajectory_optimization_matrix_lie_groups_tpu.utils.records import (
+        record,
+    )
+    record("multihost_scaling_proxy", result)
 
 
 def main():

@@ -80,7 +80,7 @@ out = pipe.solve(dp, cp, q0s_batches[3], xi0s, us0)
 _ = np.asarray(out.us[:, 0, :])
 t_unc = time.perf_counter() - t0
 
-print(json.dumps(dict(
+result = dict(
     B=B, H=H, iters=ITERS, n_al=N_AL,
     constrained_solves_per_s=round(B / t_al, 1),
     unconstrained_solves_per_s=round(B / t_unc, 1),
@@ -88,4 +88,7 @@ print(json.dumps(dict(
     lanes_converged=int((np.asarray(res.max_violation) < 1e-2).sum()),
     u_range=[round(float(res.us.min()), 2), round(float(res.us.max()), 2)],
     backend=jax.default_backend(),
-)))
+)
+print(json.dumps(result))
+from trajectory_optimization_matrix_lie_groups_tpu.utils.records import record
+record("al_pipeline", result)

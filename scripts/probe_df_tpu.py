@@ -93,9 +93,13 @@ if SMALL:
 else:
     err = float(np.max(np.abs(us0_full - us_golden)))
 
-print(json.dumps(dict(
+result = dict(
     backend=jax.default_backend(), B=B, H=H, f32_iters=F32_ITERS,
     df_iters=DF_ITERS, compile_s=round(compile_s, 1),
     solves_per_s=round(B / dt_s, 1),
     df_us_max_err_vs_golden=err,
-)))
+)
+print(json.dumps(result))
+if not SMALL:
+    from trajectory_optimization_matrix_lie_groups_tpu.utils.records import record
+    record("df_pipeline", result)

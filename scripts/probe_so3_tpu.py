@@ -81,4 +81,7 @@ for name, pendulum in (("so3_tracking", False), ("pendulum_swingup", True)):
         lane0_us_max_err_vs_ref=err,
     )
 
-print(json.dumps(dict(backend=jax.default_backend(), **results)))
+result = dict(backend=jax.default_backend(), **results)
+print(json.dumps(result))
+from trajectory_optimization_matrix_lie_groups_tpu.utils.records import record
+record("so3_pendulum_pipeline", result)

@@ -85,6 +85,7 @@ def test_solve_in_graph_matches_host_loop():
         float(np.max(np.asarray(res_h.max_violation))) < al.tol_constr)
 
 
+@pytest.mark.slow
 def test_constrained_mpc_masked_rescue():
     """Hard instances (tight box, big perturbation, tiny AL budget) leave
     the fixed-budget constrained MPC at O(1e3) violation; the masked

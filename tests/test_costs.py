@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from trajectory_optimization_matrix_lie_groups_tpu.models import constraints as cs
 from trajectory_optimization_matrix_lie_groups_tpu.models import costs
@@ -58,6 +59,7 @@ def test_lx_matches_autodiff():
     np.testing.assert_allclose(lxt, gt_ad, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_lxx_gauss_newton_structure():
     """l_xx is the GN approximation (J^T 2Q J); at zero error it equals the
     true Hessian."""

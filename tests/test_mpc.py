@@ -134,6 +134,7 @@ def test_batched_closed_loop_matches_host_loop():
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_batched_closed_loop_with_disturbance():
     """Per-step twist disturbances: noisy loops stay bounded and differ
     from the noiseless run; sigma=0 with a key reproduces noiseless."""

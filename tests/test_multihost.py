@@ -21,6 +21,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_sharded_solve():
     coordinator = f"localhost:{_free_port()}"
     nprocs = 2

@@ -30,6 +30,7 @@ def _random_problem(key, B, N):
     return Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu
 
 
+@pytest.mark.slow
 def test_pallas_matches_parallel_backward():
     args = _random_problem(jax.random.PRNGKey(0), B=4, N=12)
     interpret = jax.default_backend() != "tpu"
@@ -42,6 +43,7 @@ def test_pallas_matches_parallel_backward():
     np.testing.assert_allclose(np.asarray(Vxx_p), np.asarray(Vxx_r), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_pallas_batch_tile():
     """2D (batch_tile, stage) grid gives identical results to the full-batch
     grid; each tile re-initializes the VMEM value-function carry."""

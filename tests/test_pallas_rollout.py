@@ -13,6 +13,7 @@ from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import FastBa
 from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import build_benchmark
 
 
+@pytest.mark.slow
 def test_pallas_rollout_matches_scan():
     data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
     H, B = 30, 3
@@ -62,6 +63,7 @@ def test_pallas_rollout_matches_scan():
     np.testing.assert_allclose(np.asarray(qs_p), np.asarray(qs_r), atol=5e-4, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_linearize_matches_broadcast():
     from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_linearize import (
         pallas_linearize,

@@ -51,6 +51,7 @@ def test_pipeline_matches_fast_batch():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_batch_tile():
     """(batch_tile, stage) grid reproduces the full-batch pipeline exactly."""
     data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
@@ -126,6 +127,7 @@ def test_pipeline_drone_gravity():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_stage_chunk():
     """chunk>1 grid (multi-stage blocks) reproduces chunk=1 exactly."""
     data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
@@ -158,6 +160,7 @@ def test_pipeline_stage_chunk():
                                rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_pipeline_fused_matches_unfused():
     """2-kernel fused (rollout+linearize) layout == 3-kernel layout exactly."""
     data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
@@ -190,6 +193,7 @@ def test_pipeline_fused_matches_unfused():
                                np.asarray(a.grad_norm), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_pipeline_fused_drone_gravity():
     """Fused layout on the drone family (gravity + nu=4)."""
     data, solver, params, x0, us0, _ = build_benchmark("drone_racing", True)

@@ -67,6 +67,7 @@ def test_so3_pipeline_matches_fast_batch(name, pendulum):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_so3_pipeline_batch_tile_and_chunk():
     """(batch_tile, stage_chunk) grid reproduces the full-batch pipeline."""
     H, B, ITERS = 16, 4, 3

@@ -1,6 +1,7 @@
 """High-precision mode: f32 pipeline + f64 polish recovers f64-grade us."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,7 @@ def _cut_problem(H):
     return solver.model, {**params, "cost": cp}
 
 
+@pytest.mark.slow
 def test_polish_recovers_f64_accuracy():
     H, B, ITERS = 30, 2, 8
     model, params = _cut_problem(H)

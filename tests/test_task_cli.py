@@ -66,10 +66,20 @@ def test_cli_errstate_tracking(capsys):
 
 
 @pytest.mark.parity
-def test_cli_benchmark_compare(capsys):
-    main(["benchmark_compare"])
+def test_cli_benchmark_compare(capsys, tmp_path):
+    main(["benchmark_compare", "--plot", str(tmp_path)])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     s = out["solvers"]
+    # --plot writes the reference-schema result pickle (round-2 writer,
+    # tasks/run.py save_benchmark_pickle call) — verify it round-trips
+    from trajectory_optimization_matrix_lie_groups_tpu.utils import (
+        load_benchmark_pickle,
+    )
+
+    data = load_benchmark_pickle(s["pickle"])
+    assert "prob" in data and "ms_ilqr" in data
+    assert data["ms_ilqr"]["us"].shape[1] == 6
+    assert data["prob"]["q_ref"].shape[0] == out["horizon"] + 1
     # cross-solver agreement (the reference's de-facto integration test)
     assert out["solvers"]["ms_ss_J_gap"] < 1.0
     for name in ("ms_ilqr", "ss_ilqr"):

@@ -137,3 +137,40 @@ def test_interactive_viewers(tmp_path):
     interactive.rollout_animation(res, gif)
     import os
     assert os.path.getsize(gif) > 0
+
+
+def test_save_benchmark_pickle_roundtrip(tmp_path):
+    """Reference-schema result pickle (benchmark_SE3_tracking.py:272-345):
+    a 'prob' spec entry + one entry per solver with xs/us/histories; must
+    round-trip through load_benchmark_pickle with arrays intact."""
+    from trajectory_optimization_matrix_lie_groups_tpu.utils.trajectories import (
+        load_benchmark_pickle,
+        save_benchmark_pickle,
+    )
+
+    N = 4
+    q_ref, xi_ref = generate_reference(
+        np.eye(4), np.array([0, 0, 0.3, 1.0, 0, 0]), N=N, dt=0.01)
+    prob = dict(J=np.eye(6), dt=0.01, q_ref=q_ref, xi_ref=xi_ref,
+                x0=(q_ref[0], xi_ref[0]),
+                Q=np.eye(12), P=np.eye(12), R=np.eye(6))
+    qs = jnp.asarray(q_ref)
+    solvers = {
+        "ms_ilqr": dict(xs=dict(qs=qs, xis=jnp.asarray(xi_ref)),
+                        us=jnp.zeros((N, 6)),
+                        J_hist=[3.0, 2.0, 1.0], grad_hist=[1e-1, 1e-3],
+                        defect_hist=[1e-2, 1e-6]),
+        "baseline": dict(xs=np.zeros((N + 1, 12)), us=np.zeros((N, 6)),
+                         J_hist=[2.5], grad_hist=[1e-2]),
+    }
+    path = save_benchmark_pickle(str(tmp_path / "res.pkl"), prob, solvers)
+    data = load_benchmark_pickle(path)
+    assert set(data) == {"prob", "ms_ilqr", "baseline"}
+    np.testing.assert_allclose(data["prob"]["q_ref"], q_ref)
+    np.testing.assert_allclose(data["prob"]["x0"][1], xi_ref[0])
+    # jnp arrays became numpy; nested xs dict preserved
+    ms = data["ms_ilqr"]
+    assert isinstance(ms["us"], np.ndarray)
+    np.testing.assert_allclose(ms["xs"]["qs"], q_ref)
+    assert ms["J_hist"] == [3.0, 2.0, 1.0]
+    assert ms["defect_hist"][-1] == 1e-6

@@ -41,7 +41,7 @@ import numpy as np
 __all__ = [
     "DF", "is_df", "promote", "const", "split_f64", "join_f64",
     "where", "sqrt", "maximum", "minimum", "concatenate", "swapaxes",
-    "zeros", "zeros_like", "sincos", "poly",
+    "zeros", "zeros_like", "sincos", "poly", "opaque",
     "SINC", "COSSER", "COSC", "SINC3", "COSC4", "C3SER", "JINVK",
 ]
 
@@ -137,27 +137,27 @@ class DF:
         return DF(-self.hi, -self.lo)
 
     def __add__(self, o):
-        o = promote(o)
-        return DF(*_add_(self.hi, self.lo, o.hi, o.lo))
+        a, o = _rt_operands(self, promote(o))
+        return DF(*_add_(a.hi, a.lo, o.hi, o.lo))
 
     __radd__ = __add__
 
     def __sub__(self, o):
-        o = promote(o)
-        return DF(*_add_(self.hi, self.lo, -o.hi, -o.lo))
+        a, o = _rt_operands(self, promote(o))
+        return DF(*_add_(a.hi, a.lo, -o.hi, -o.lo))
 
     def __rsub__(self, o):
         return promote(o).__sub__(self)
 
     def __mul__(self, o):
-        o = promote(o)
-        return DF(*_mul_(self.hi, self.lo, o.hi, o.lo))
+        a, o = _rt_operands(self, promote(o))
+        return DF(*_mul_(a.hi, a.lo, o.hi, o.lo))
 
     __rmul__ = __mul__
 
     def __truediv__(self, o):
-        o = promote(o)
-        return DF(*_div_(self.hi, self.lo, o.hi, o.lo))
+        a, o = _rt_operands(self, promote(o))
+        return DF(*_div_(a.hi, a.lo, o.hi, o.lo))
 
     def __rtruediv__(self, o):
         return promote(o).__truediv__(self)
@@ -186,6 +186,52 @@ class DF:
 
 def is_df(x):
     return isinstance(x, DF)
+
+
+def _opaque_const(c, ref_hi):
+    """Make a host-scalar DF constant opaque to XLA's simplifier.
+
+    Inside a jit graph, XLA's algebraic simplifier reassociates float
+    expressions whose operands are LITERAL constants ((a + c) - a -> c,
+    and the matching product forms), which silently deletes the
+    two_sum/two_prod error terms wherever a constant participates and
+    collapses that DF chain to f32 accuracy (measured: quaternion
+    extraction / so3_log / series coefficients all land ~1e-8 under jit
+    on BOTH CPU and TPU vs ~1e-14 eager).  Routing the constant's
+    (hi, lo) through `lax.optimization_barrier` turns it into a runtime
+    value the constant-only rewrite rules cannot touch; EFTs between
+    runtime arrays are preserved by XLA (tests/test_dfx.py).  Only called
+    when the partner operand is a jax array, so module-level coefficient
+    construction (pure numpy) never touches the jax backend."""
+    from jax import lax as _lax
+
+    dt = getattr(ref_hi, "dtype", jnp.float32)
+    h, l = _lax.optimization_barrier(
+        (jnp.asarray(c.hi, dt), jnp.asarray(c.lo, dt)))
+    return DF(h, l)
+
+
+def opaque(x):
+    """`optimization_barrier` for constant-VALUED jnp arrays (identity
+    masks, one-hots) entering DF arithmetic: they are jax-typed, so
+    `_rt_operands` cannot detect them, but trace-time constant folding
+    re-literalizes them and exposes the EFTs to the simplifier's
+    constant reassociation (see `_opaque_const`)."""
+    from jax import lax as _lax
+
+    return _lax.optimization_barrier(x)
+
+
+def _rt_operands(a, b):
+    """Opacify whichever side of a DF binary op is a host-scalar constant
+    when the other side is jax data (see `_opaque_const`)."""
+    a_jax = isinstance(a.hi, jnp.ndarray)
+    b_jax = isinstance(b.hi, jnp.ndarray)
+    if not a_jax and b_jax:
+        a = _opaque_const(a, b.hi)
+    elif not b_jax and a_jax:
+        b = _opaque_const(b, a.hi)
+    return a, b
 
 
 def const(v):
@@ -347,8 +393,24 @@ def poly(x, coeffs):
     same op count."""
     x = promote(x)
     b = jnp.zeros_like(x.hi)
-    # broadcast scalar coefficients against x once
-    terms = [DF(b + promote(c).hi, b + promote(c).lo) for c in coeffs]
+    # Broadcast scalar coefficients against x once — through an
+    # optimization_barrier: XLA's algebraic simplifier reassociates
+    # float expressions whose operands are LITERAL constants
+    # ((a + c) - a -> c), which silently destroys the two_sum/two_prod
+    # error terms exactly where a coefficient participates and collapses
+    # the series to f32 accuracy (measured: SINC 3.8e-15 eager ->
+    # 3.1e-8 under jit on both CPU and TPU).  The barrier makes the
+    # coefficients opaque runtime values, which the simplifier's
+    # constant-only reassociation rules cannot touch; EFTs between two
+    # runtime arrays are preserved by XLA (verified in test_dfx).
+    from jax import lax as _lax
+
+    terms = []
+    for c in coeffs:
+        cp = promote(c)
+        ch, cl = _lax.optimization_barrier(
+            (jnp.asarray(cp.hi, x.hi.dtype), jnp.asarray(cp.lo, x.hi.dtype)))
+        terms.append(DF(b + ch, b + cl))
     p = x
     while len(terms) > 1:
         terms = [terms[i] + p * terms[i + 1] if i + 1 < len(terms)

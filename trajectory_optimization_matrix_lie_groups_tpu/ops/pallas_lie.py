@@ -106,6 +106,8 @@ def so3_exp(w):
     W = hat(w)
     W2 = matmul3(W, W)
     eye = _eye3(w.dtype, w.shape[-1])
+    if dfx.is_df(w):
+        eye = dfx.opaque(eye)  # constant-folded identity breaks DF EFTs
     return eye + a[None, None, :] * W + b[None, None, :] * W2
 
 
@@ -232,7 +234,10 @@ def so3_left_jacobian(w):
     b, c = _jl_coeffs(th_sq)
     W = hat(w)
     W2 = matmul3(W, W)
-    return _eye3(w.dtype, w.shape[-1]) + b[None, None, :] * W + c[None, None, :] * W2
+    eye = _eye3(w.dtype, w.shape[-1])
+    if dfx.is_df(w):
+        eye = dfx.opaque(eye)  # constant-folded identity breaks DF EFTs
+    return eye + b[None, None, :] * W + c[None, None, :] * W2
 
 
 def so3_left_jacobian_inv(w):
@@ -249,7 +254,10 @@ def so3_left_jacobian_inv(w):
                       1.0 / th_sq_safe - jnp.cos(half) / (2.0 * th * jnp.sin(half)))
     W = hat(w)
     W2 = matmul3(W, W)
-    return _eye3(w.dtype, w.shape[-1]) - 0.5 * W + k[None, None, :] * W2
+    eye = _eye3(w.dtype, w.shape[-1])
+    if dfx.is_df(w):
+        eye = dfx.opaque(eye)  # constant-folded identity breaks DF EFTs
+    return eye - 0.5 * W + k[None, None, :] * W2
 
 
 # -- SE(3) (R (3,3,B), p (3,B)) ---------------------------------------------
