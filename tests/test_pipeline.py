@@ -88,6 +88,7 @@ def test_pipeline_batch_tile():
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_pipeline_drone_gravity():
     """Drone family (nu=4, gravity, Pu projection) through all 3 kernels."""
     data, solver, params, x0, us0, _ = build_benchmark("drone_racing", True)
