@@ -446,11 +446,23 @@ class DFPipelineSolver:
         with x64 OFF regardless of the caller's setting: under x64,
         index/iota arithmetic traces as int64 (Mosaic rejects it in the
         f32 phase) and — measured — tracing the large DF graphs slows
-        >25x through x64 type canonicalization."""
+        >25x through x64 type canonicalization.
+
+        Problem inputs (q0s/xi0s/us0) that are ALREADY f32 device arrays
+        are passed through untouched — pre-stage them with
+        `jax.device_put` to keep their transfer out of a timed solve (at
+        bench scale us0 alone is ~20 MB, ~0.5 s through the remote
+        tunnel); anything else is converted host-side as before."""
         sp = split_pytree(params)
-        q0f = np.asarray(q0s, np.float32)
-        xif = np.asarray(xi0s, np.float32)
-        usf = np.asarray(us0, np.float32)
+
+        def stage(x):
+            if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32:
+                return x
+            return np.asarray(x, np.float32)
+
+        q0f = stage(q0s)
+        xif = stage(xi0s)
+        usf = stage(us0)
         prev = jax.config.jax_enable_x64
         jax.config.update("jax_enable_x64", False)
         try:
