@@ -153,3 +153,48 @@ def test_constrained_batch_mpc_matches_host_loop():
         qs_h, xis_h = model.step({"dyn": dp, "cost": cp_t}, qs_h, xis_h,
                                  u0, 0)
         us_warm = jnp.concatenate([out.us[:, 1:], out.us[:, -1:]], axis=1)
+
+
+@pytest.mark.parity
+def test_al_pipeline_warm_start_agrees_with_cold():
+    """warm_start=True (outers after the first start from the previous
+    solution with a short inner budget) must converge to a feasible
+    point of comparable augmented cost.  Controls are NOT compared: with
+    R ~ 1e-5 and a wide box the problem is degenerate in flat input
+    directions and the two modes legitimately settle on different
+    near-optimal sequences (see ALPipelineSolver.solve docstring)."""
+    data = load_benchmark_pickle(PKL)
+    prob = data["prob"]
+    H, B, ITERS = 24, 2, 12
+    q_ref = jnp.asarray(np.asarray(prob["q_ref"])[: H + 1], jnp.float32)
+    xi_ref = jnp.asarray(
+        np.asarray(prob["xi_ref"])[: H + 1].reshape(H + 1, 6), jnp.float32)
+    dyn = dynamics.se3_dynamics()
+    dp = dynamics.se3_params(jnp.asarray(prob["J"], jnp.float32),
+                             jnp.asarray(float(prob["dt"]), jnp.float32))
+    cd = costs.tracking_cost(SE3, 6)
+    cp = costs.tracking_cost_params(
+        SE3, jnp.asarray(prob["Q"], jnp.float32),
+        jnp.asarray(prob["R"], jnp.float32),
+        jnp.asarray(prob["P"], jnp.float32), q_ref, xi_ref)
+    dq = 0.03 * jax.random.normal(jax.random.PRNGKey(2), (B, 6), jnp.float32)
+    q0s = SE3.normalize(q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(xi_ref[0], (B, 6)) + jnp.float32(0.05)
+    us0 = jnp.zeros((B, H, 6), jnp.float32)
+    lb, ub = -100.0, 100.0
+
+    pipe = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(prob["dt"]),
+                                interpret=jax.default_backend() != "tpu")
+    al = ALPipelineSolver(pipe, lb=np.full(6, lb), ub=np.full(6, ub),
+                          tol_constr=1e-2)
+    cold = al.solve(dp, cp, q0s, xi0s, us0, n_al_iters=10)
+    warm = al.solve(dp, cp, q0s, xi0s, us0, n_al_iters=10,
+                    warm_start=True, warm_iters=4)
+    assert warm.constr_converged
+    assert float(warm.max_violation.max()) < 1e-2
+    Jc = np.asarray(cold.J_opt, np.float64)
+    Jw = np.asarray(warm.J_opt, np.float64)
+    rel = np.abs(Jw - Jc) / np.maximum(np.abs(Jc), 1.0)
+    assert float(rel.max()) < 0.05, rel
+    assert float(warm.us.max()) <= ub + 1e-1
+    assert float(warm.us.min()) >= lb - 1e-1
