@@ -20,11 +20,12 @@ xi0_anchor = jnp.asarray(np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_
 us_golden = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_us.npy"))
 dp, cp = params["dyn"], params["cost"]
 
+# round-3 ceiling re-probe (VERDICT 6c): one retry each of the configs
+# that tripped the remote compiler's HTTP 500 in rounds 1-2
 CONFIGS = [
-    (16384, 256, 2),
-    (8192, 128, 2),
-    (32768, 256, 2),
-    (16384, 128, 2),
+    (8192, 256, 8),
+    (16384, 256, 4),
+    (8192, 512, 4),
 ]
 
 for B, tile, chunk in CONFIGS:
