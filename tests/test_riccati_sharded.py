@@ -86,3 +86,40 @@ def test_sharded_al_scale_horizon():
                                rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(np.asarray(Vxx2), np.asarray(Vxx1),
                                rtol=1e-8, atol=1e-8)
+
+
+def test_lie_ilqr_backward_associative_sharded():
+    """backward='associative_sharded' drops into LieILQR and reproduces
+    the single-device associative solve (2-device mesh, small problem)."""
+    import dataclasses
+
+    from trajectory_optimization_matrix_lie_groups_tpu.parallel import (
+        riccati_sharded,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import (
+        LieILQR,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    data, solver, params, x0, us0, _ = build_benchmark("so3_tracking", True)
+    N = 24
+    cp = params["cost"]
+    cut = lambda a: a[: N + 1]
+    cp = cp._replace(q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+                     Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))
+    params = {**params, "cost": cp}
+    us0 = us0[:N]
+    cfg_a = dataclasses.replace(solver.cfg, N=N, max_iterations=6,
+                                tol_grad_norm=0.0, tol_d_norm=0.0,
+                                backward="associative")
+    s_a = LieILQR(solver.model, cfg_a)
+    (_, _), us_a, *_ = s_a.fit(params, x0, us0)
+
+    cfg_s = dataclasses.replace(cfg_a, backward="associative_sharded")
+    s_s = LieILQR(solver.model, cfg_s)
+    s_s.backward_mesh = riccati_sharded.default_time_mesh(n=2)
+    (_, _), us_s, *_ = s_s.fit(params, x0, us0)
+    np.testing.assert_allclose(np.asarray(us_s), np.asarray(us_a),
+                               rtol=1e-8, atol=1e-8)

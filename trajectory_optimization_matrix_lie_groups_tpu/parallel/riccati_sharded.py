@@ -39,11 +39,23 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from trajectory_optimization_matrix_lie_groups_tpu.solvers.riccati import (
+    _all_quu_pd,
     _bmv,
     _solve,
     build_elements,
     combine,
 )
+
+
+def default_time_mesh(axis: str = "time", n: int = None) -> Mesh:
+    """A 1-d mesh over all (or the first ``n``) local devices for the
+    time-sharded sweep."""
+    import numpy as np
+
+    devs = jax.devices()
+    if n is not None:
+        devs = devs[:n]
+    return Mesh(np.asarray(devs), (axis,))
 
 
 def _identity_element(n, dtype):
@@ -138,3 +150,59 @@ def sharded_parallel_backward(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, mesh: Mesh,
     k = -_solve(Quu, Qu[..., None])[..., 0]
     K = -_solve(Quu, Qux)
     return k, K, Vx_next, Vxx_next
+
+
+def sharded_backward_adaptive(Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu,
+                              mu, delta, mesh: Mesh, axis: str = "time",
+                              mu_min=1e-6, mu_max=1e10, delta_0=2.0):
+    """Time-sharded twin of `riccati.parallel_backward_adaptive`.
+
+    Same whole-sweep batched LM retry (reference mu/delta schedule) and
+    the same finite-output guarantee on the mu_max-exceeded path, with
+    the associative sweep running time-sharded over ``mesh``.  Returns
+    the 7-tuple the production solvers expect, so
+    `backward='associative_sharded'` drops into `LieILQR`.
+    """
+    def attempt(m):
+        k, K, Vx_n, Vxx_n = sharded_parallel_backward(
+            Fx, Fu, d, Lx, Lu, Lxx, Lux, Luu, mesh=mesh, axis=axis, mu=m)
+        ok = (_all_quu_pd(Fx, Fu, Luu, Vxx_n, m)
+              & jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
+              & jnp.all(jnp.isfinite(Vxx_n)) & jnp.all(jnp.isfinite(Vx_n)))
+        return k, K, Vx_n, Vxx_n, ok
+
+    k0, K0, Vx0, Vxx0, ok0 = attempt(mu)
+
+    def cond(c):
+        return jnp.logical_not(c[0])
+
+    def body(c):
+        _, mu_q, _, dlt, exc, _ = c
+        dlt_inc = jnp.maximum(1.0, dlt) * delta_0
+        mu_inc = jnp.maximum(mu_min, mu_q * dlt_inc)
+        hit_max = mu_inc >= mu_max
+        k, K, Vx_n, Vxx_n, ok = attempt(mu_inc)
+        done = ok | hit_max
+        return (done, mu_inc, mu_inc, dlt_inc,
+                exc | (hit_max & jnp.logical_not(ok)),
+                (k, K, Vx_n, Vxx_n))
+
+    state = (ok0, jnp.asarray(mu, Fx.dtype), jnp.asarray(mu, Fx.dtype),
+             jnp.asarray(delta, Fx.dtype), jnp.asarray(False),
+             (k0, K0, Vx0, Vxx0))
+    done, mu_q, _, dlt, exceeded, (k, K, Vx_n, Vxx_n) = lax.while_loop(
+        cond, body, state)
+    dlt_dec = jnp.minimum(1.0, dlt) / delta_0
+    mu_dec = mu_q * dlt_dec
+    mu_dec = jnp.where(mu_dec <= mu_min, 0.0, mu_dec)
+    mu_out = jnp.where(exceeded, mu_q, mu_dec)
+    delta_out = jnp.where(exceeded, dlt, dlt_dec)
+
+    def _fin(x, fb):
+        return jnp.where(jnp.isfinite(x), x, fb)
+
+    k = _fin(k, jnp.zeros_like(k))
+    K = _fin(K, jnp.zeros_like(K))
+    Vx_n = _fin(Vx_n, Lx[1:])
+    Vxx_n = _fin(Vxx_n, Lxx[1:])
+    return k, K, Vx_n, Vxx_n, mu_out, delta_out, exceeded

@@ -220,6 +220,25 @@ class LieILQR:
                 lin["Fx"], lin["Fu"], d, lin["Lx"], lin["Lu"], lin["Lxx"],
                 lin["Lux"], lin["Luu"], mu, delta,
                 mu_min=cfg.mu_min, mu_max=cfg.mu_max, delta_0=cfg.delta_0)
+        if cfg.backward == "associative_sharded":
+            # the same PD-safe sweep with the value-element scan sharded
+            # over a device mesh on the TIME axis (SURVEY §2.6/§5.7
+            # horizon sharding; parallel/riccati_sharded.py).  Mesh comes
+            # from `self.backward_mesh` (set it after construction), else
+            # all local devices on a 1-d "time" mesh.
+            from trajectory_optimization_matrix_lie_groups_tpu.parallel import (
+                riccati_sharded,
+            )
+
+            mesh = getattr(self, "backward_mesh", None)
+            if mesh is None:
+                mesh = riccati_sharded.default_time_mesh()
+                self.backward_mesh = mesh
+            d = lin["d"] if cfg.multiple_shooting else jnp.zeros_like(lin["d"])
+            return riccati_sharded.sharded_backward_adaptive(
+                lin["Fx"], lin["Fu"], d, lin["Lx"], lin["Lu"], lin["Lxx"],
+                lin["Lux"], lin["Luu"], mu, delta, mesh=mesh,
+                mu_min=cfg.mu_min, mu_max=cfg.mu_max, delta_0=cfg.delta_0)
         return self._backward_sequential(lin, mu, delta)
 
     def _backward_sequential_fixed(self, lin, mu, delta):
