@@ -63,6 +63,9 @@ for name, pendulum in (("so3_tracking", False), ("pendulum_swingup", True)):
     xi0s = jnp.broadcast_to(jnp.asarray(xi0, jnp.float32), (B, 3))
     us0 = jnp.zeros((B, N, 3), jnp.float32)
 
+    # chunk=1: round-3 probe showed chunking HURTS the SO(3)-family
+    # kernels (9.5k vs 10.2k so3 / 20.2k vs 21.0k pendulum at chunk 3/4
+    # — smaller per-stage state, grid overhead already amortized)
     pipe = SO3PipelineSolver(N=N, iterations=ITERS, dt=float(dp.dt),
                              pendulum=pendulum, interpret=interp,
                              batch_tile=TILE)

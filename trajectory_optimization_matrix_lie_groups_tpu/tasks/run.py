@@ -961,14 +961,21 @@ def run_mpc_batch(args):
     errT = jnp.linalg.norm(jax.vmap(
         lambda q: se3.log(se3.inverse(cp.q_ref[T]) @ q))(res.qs[:, -1]),
         axis=-1)
-    print(json.dumps(dict(
+    result = dict(
         task="mpc_batch", batch=B, horizon=H, steps=T,
         wall_s=round(wall, 3),
         mpc_solves_per_s=round(B * T / wall, 1),
         tracking_err_mean_initial=float(jnp.mean(err0)),
         tracking_err_mean_final=float(jnp.mean(errT)),
         shrink_ratio=float(jnp.mean(errT) / jnp.mean(err0)),
-    )))
+    )
+    print(json.dumps(result))
+    if on_tpu:
+        from trajectory_optimization_matrix_lie_groups_tpu.utils.records import (
+            record,
+        )
+
+        record("mpc_batch", result)
 
 
 def run_mpc_batch_constrained(args):
