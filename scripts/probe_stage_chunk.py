@@ -52,10 +52,13 @@ for B, tile, chunk in CONFIGS:
             _ = np.asarray(out.us[:, 0, :])  # MPC readback barrier (bench.py)
             dt = min(dt, time.perf_counter() - t0)
         err = float(np.max(np.abs(np.asarray(out.us[0], np.float64) - us_golden)))
-        print(json.dumps({"B": B, "tile": tile, "chunk": chunk,
-                          "solves_per_s": round(B / dt, 1),
-                          "t_compile_s": round(t_compile, 1),
-                          "err": err}), flush=True)
+        result = {"B": B, "tile": tile, "chunk": chunk,
+                  "solves_per_s": round(B / dt, 1),
+                  "t_compile_s": round(t_compile, 1),
+                  "err": err}
+        print(json.dumps(result), flush=True)
+        from trajectory_optimization_matrix_lie_groups_tpu.utils.records import record
+        record("f32_pipeline_grid", result)
     except Exception as e:
         print(json.dumps({"B": B, "tile": tile, "chunk": chunk,
                           "error": repr(e)[:300]}), flush=True)
