@@ -29,22 +29,36 @@ def record(name, payload, path=None):
     are reported to stderr but never raise — a record must not be able
     to kill the measurement that produced it.
     """
-    path = path or os.environ.get("TRAOPT_RECORDS_PATH", DEFAULT_PATH)
-    entry = dict(
-        name=name,
-        when=datetime.datetime.now(datetime.timezone.utc).isoformat(
-            timespec="seconds"),
-        invocation=" ".join([os.path.basename(sys.executable)]
-                            + [os.path.relpath(a, _REPO_ROOT)
-                               if os.path.isabs(a) and a.startswith(_REPO_ROOT)
-                               else a for a in sys.argv]),
-        **payload,
-    )
     try:
+        path = path or os.environ.get("TRAOPT_RECORDS_PATH", DEFAULT_PATH)
+        entry = dict(
+            name=name,
+            when=datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"),
+            invocation=" ".join([os.path.basename(sys.executable)]
+                                + [os.path.relpath(a, _REPO_ROOT)
+                                   if os.path.isabs(a)
+                                   and a.startswith(_REPO_ROOT)
+                                   else a for a in sys.argv]),
+        )
+        # payload keys that collide with the envelope keep the payload value
+        # under a "payload_" prefix instead of raising in dict(**...)
+        for k, v in dict(payload).items():
+            entry[f"payload_{k}" if k in entry else k] = v
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "a") as f:
-            f.write(json.dumps(entry) + "\n")
-    except OSError as e:  # pragma: no cover - environment-dependent
+            # stray np.float32 / ndarray / device-array payload values must
+            # not be able to kill the probe that produced them: numpy-like
+            # scalars/arrays become numbers/lists, anything else a string
+            def default(o):
+                if hasattr(o, "item") and not hasattr(o, "__len__"):
+                    return o.item()
+                if hasattr(o, "tolist"):
+                    return o.tolist()
+                return str(o)
+
+            f.write(json.dumps(entry, default=default) + "\n")
+    except Exception as e:  # pragma: no cover - environment-dependent
         print(f"records.record: could not write {path}: {e}",
               file=sys.stderr)
     return path
