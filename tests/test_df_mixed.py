@@ -1,0 +1,181 @@
+"""Mixed-precision DF polish (solvers/df_mixed.py): stage-math equivalence
+to the full-DF stage functions at f32 grade (the preconditioner parts), DF
+grade on the residual path, and parity-tier convergence to the f64 fixed
+point inside the 1e-4 BASELINE gate.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from trajectory_optimization_matrix_lie_groups_tpu.ops import dfx
+from trajectory_optimization_matrix_lie_groups_tpu.ops import pallas_lie as pll
+from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_linearize import (
+    stage_cost_quad,
+)
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_mixed import (
+    MixedDFPipelineSolver,
+    riccati_stage_mx,
+    stage_cost_quad_mx,
+)
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
+    riccati_stage,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def _df_of(x64):
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+    return dfx.DF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def _join(d):
+    return np.asarray(d.hi, np.float64) + np.asarray(d.lo, np.float64)
+
+
+def _psd(n, B, scale=1.0):
+    A = RNG.normal(size=(B, n, n))
+    M = np.einsum("bij,bkj->bik", A, A) / n * scale + \
+        0.1 * np.eye(n)[None] * scale
+    return np.moveaxis(M, 0, -1).copy()  # lane layout (n, n, B)
+
+
+def test_riccati_stage_mx_matches_full_df():
+    """Same Riccati formula: the mixed stage's K/Vxx agree with the full-DF
+    stage at f32 grade, its Qu/Vx (residual path) at better-than-f32 grade,
+    and its k at f32 RELATIVE grade — on random (non-converged) data the
+    absolute f32-chain terms dominate, so tolerances are f32-scale."""
+    B, nu, h = 16, 6, 6
+    lane = lambda a: np.moveaxis(a, 0, -1).copy()
+    fx = _df_of(lane(RNG.normal(size=(B, 12, 12)) * 0.3
+                     + np.eye(12)[None]))
+    dd = _df_of(lane(RNG.normal(size=(B, 12)) * 1e-3))
+    lx = _df_of(lane(RNG.normal(size=(B, 12))))
+    lu = _df_of(lane(RNG.normal(size=(B, nu))))
+    lxx64 = _psd(12, B)
+    Vxx64 = _psd(12, B)
+    Vx = _df_of(lane(RNG.normal(size=(B, 12))))
+    fu2_64 = lane(RNG.normal(size=(B, h, nu)) * 0.05)
+    Luu64 = _psd(nu, B, scale=0.1)
+
+    lxx_df, Vxx_df = _df_of(lxx64), _df_of(Vxx64)
+    fu2_df = _df_of(fu2_64)
+    fu2T_df = pll.transpose(fu2_df)
+    Luu_df = _df_of(Luu64)
+
+    k_d, K_d, Qu_d, Vx_d, Vxx_d = riccati_stage(
+        fx, dd, lx, lu, lxx_df, fu2_df, fu2T_df, Luu_df, Vx, Vxx_df,
+        nu=nu, glow=False)
+
+    fu2_32 = fu2_df.hi
+    k_m, K_m, Qu_m, Vx_m, Vxx_m = riccati_stage_mx(
+        fx, dd, lx, lu, lxx_df.hi, fu2_df, fu2T_df, fu2_32,
+        pll.transpose(fu2_32), Luu_df.hi, Vx, Vxx_df.hi,
+        nu=nu, glow=False)
+
+    scale = np.abs(_join(Vx_d)).max()
+    np.testing.assert_allclose(np.asarray(K_m), _join(K_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Vxx_m), _join(Vxx_d),
+                               rtol=0, atol=5e-4 * max(1.0, scale))
+    # residual path: Qu in DF everywhere except the (vanishing-at-fixed-
+    # point) V_xx d product -> error bounded by f32 eps * |Vxx||d|
+    dQu = np.abs(np.asarray(Qu_m.hi, np.float64)
+                 + np.asarray(Qu_m.lo, np.float64) - _join(Qu_d)).max()
+    assert dQu < 1e-6, dQu
+    dVx = np.abs(_join(Vx_m) - _join(Vx_d)).max()
+    assert dVx < 5e-4 * max(1.0, scale), dVx
+    # k: f32 with relative-only error vs the DF k
+    np.testing.assert_allclose(np.asarray(k_m), _join(k_d),
+                               rtol=5e-3, atol=2e-5)
+
+
+def test_stage_cost_quad_mx_matches_full_df():
+    B = 16
+    lane = lambda a: np.moveaxis(a, 0, -1).copy()
+    dq = RNG.normal(size=(B, 6)) * 0.3
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+
+    q = np.asarray(se3.exp(jnp.asarray(dq, jnp.float64)))
+    R = _df_of(lane(q[:, :3, :3]))
+    p = _df_of(lane(q[:, :3, 3]))
+    xi = _df_of(lane(RNG.normal(size=(B, 6))))
+    qb = np.asarray(se3.exp(jnp.asarray(RNG.normal(size=(B, 6)) * 0.3,
+                                        jnp.float64)))
+    RbiR = _df_of(lane(np.swapaxes(qb[:, :3, :3], -1, -2).copy()))
+    Rbip = _df_of(lane(-np.einsum("bji,bj->bi", qb[:, :3, :3],
+                                  qb[:, :3, 3])))
+    AdbM = np.zeros((B, 6, 6))
+    AdbM[:, :3, :3] = qb[:, :3, :3]
+    AdbM[:, 3:, 3:] = qb[:, :3, :3]
+    Adb = _df_of(lane(AdbM))
+    xib = _df_of(lane(RNG.normal(size=(B, 6))))
+    W1_64 = _psd(6, B)
+    W2_64 = _psd(6, B)
+    W1, W2 = _df_of(W1_64), _df_of(W2_64)
+
+    lx_d, lxx_d, l_d = stage_cost_quad(R, p, xi, RbiR, Rbip, Adb, xib,
+                                       W1, W2)
+    lx_m, lxx32, l32 = stage_cost_quad_mx(R, p, xi, RbiR, Rbip, Adb, xib,
+                                          W1, W2, W1.hi)
+
+    np.testing.assert_allclose(_join(lx_m), _join(lx_d), rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(lxx32), _join(lxx_d),
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(l32), _join(l_d),
+                               rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parity
+def test_df_mixed_hits_f64_fixed_point():
+    """f32 phase + mixed-precision polish lands inside the 1e-4 gate vs the
+    f64 oracle at the same total budget (mirror of
+    test_df_pipeline_hits_f64_fixed_point; parity-marked for the multi-
+    minute XLA:CPU compile of the polish graph)."""
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import (
+        FastBatchSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_pipeline import (
+        join_us,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+    )
+
+    data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    H, B = 30, 3
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    cp = cp._replace(q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+                     Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))
+    params = {**params, "cost": cp}
+
+    key = jax.random.PRNGKey(0)
+    dq = 0.05 * jax.random.normal(key, (B, 6), dtype=jnp.float64)
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6))
+    us0s = jnp.zeros((B, H, 6), jnp.float64)
+
+    F32_ITERS, DF_ITERS = 10, 3
+    fast = FastBatchSolver(solver.model, N=H, iterations=F32_ITERS + DF_ITERS,
+                           use_pallas=False)
+    ref = fast.solve(params, q0s, xi0s, us0s, cp.q_ref, cp.xi_ref)
+    us_ref = np.asarray(ref.us, np.float64)
+
+    np_params = jax.tree.map(np.asarray, params)
+    mx = MixedDFPipelineSolver(N=H, dt=float(params["dyn"].dt),
+                               f32_iterations=F32_ITERS,
+                               df_iterations=DF_ITERS,
+                               interpret=jax.default_backend() != "tpu")
+    out = mx.solve(np_params, q0s, xi0s, us0s)
+    us_mx = join_us(out)
+    err = np.max(np.abs(us_mx - us_ref))
+    assert err < 1e-4, err
+    # gradient at the polished point is DF-grade small
+    assert float(np.asarray(out.grad_norm).max()) < 1e-6
+    np.testing.assert_allclose(np.asarray(out.J_opt, np.float64),
+                               np.asarray(ref.J_opt, np.float64), rtol=1e-4)

@@ -1,0 +1,450 @@
+"""Mixed-precision double-f32 polish: DF residuals, f32 preconditioner.
+
+The full-DF polish (`solvers/df_pipeline.py`) runs EVERY operation of the
+MS-iLQR iteration in double-f32, which costs ~31x an f32 iteration on-chip
+(bench_records name=df_phase_split) — 84% of the gate-passing headline's
+budget.  But the accuracy of the *converged* iterate is set only by the
+accuracy of the residuals the iteration drives to zero, not by the
+preconditioner applied to them (classic mixed-precision iterative
+refinement: solve in low precision, evaluate residuals in high precision —
+Wilkinson; Higham, "Accuracy and Stability of Numerical Algorithms" ch.12).
+
+For MS-iLQR the fixed point is (defects d = 0, per-stage gradient Qu = 0),
+so the double-f32 path must carry exactly:
+
+  - the trajectory state (pose/twist carry through the gap-closing
+    rollout) and controls — they define the point where residuals are
+    evaluated, and the pose differences (defects, feedback deviation
+    xs_err) are catastrophic cancellations of near-equal group elements;
+  - the defect d, cost gradients lx / lu, dynamics Jacobian Fx, and the
+    adjoint (V_x) recursion through Fx^T — these form the computed Qu,
+    whose ABSOLUTE error lands on the controls amplified by
+    1/sigma_min(Quu) ~ 5e4 (scripts/probe_f32_precision.py).
+
+Everything else only preconditions the step and may carry f32 error,
+because its error enters the update MULTIPLIED by the residual (k, Qu, d,
+xs_err -> 0 at the fixed point), so it vanishes where it matters:
+
+  - the value-Hessian recursion V_xx, Q_xx, Q_ux, Q_uu, its Cholesky
+    factors and the gains K;
+  - the GN cost Hessian lxx (and the cost value l, a diagnostic);
+  - the feedback products K @ xs_err and the vanishing V_x correction
+    terms K^T(Q_uu k + Q_u) + Q_ux^T k;
+  - the step k itself: k = -Q_uu^{-1} Q_u computed from the f32 rounding
+    of the DF Q_u has RELATIVE error only, so the iteration still
+    contracts to the DF-accurate root of Q_u.
+
+Cost: the dominant double-f32 work of the full-DF backward — the
+(12,12)x(12,12) Hessian propagation, ~5k DF multiplies/stage — drops to
+f32, leaving ~250 DF ops/stage on the gradient chain; the linearizer
+drops the GN Hessian products; the rollout drops the feedback matvec.
+
+The iteration additionally fuses the rollout with the next linearization
+(as the f32 Pallas pipeline does, solvers/pipeline.py): the rollout's
+dynamics evaluations are re-used as the linearizer's, so each polish
+iteration evaluates the DF dynamics once, not twice.
+
+Reference precision policy being matched: float64 end-to-end
+(main_SE3ddp_tracking_exact_ms.py:36); accuracy vs the f64 golden is
+gated by tests/test_df_mixed.py at the same <=1e-4 bar as the full-DF
+path (measured: the two agree to the flat-direction indeterminacy).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from trajectory_optimization_matrix_lie_groups_tpu.ops import dfx
+from trajectory_optimization_matrix_lie_groups_tpu.ops import pallas_lie as pll
+from trajectory_optimization_matrix_lie_groups_tpu.ops.pallas_linearize import (
+    stage_dynamics_eval,
+    stage_jacobian,
+)
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_pipeline import (
+    DFPipelineSolver,
+    DFState,
+    _df,
+    _map_df,
+    _pair,
+)
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
+    NX,
+    chol_factor_lane,
+    chol_solve_lane,
+)
+
+__all__ = ["MixedDFPipelineSolver", "riccati_stage_mx", "stage_cost_quad_mx"]
+
+
+def stage_cost_quad_mx(R, p, xi, RbiR, Rbip, Adb, xib, W1_df, W2_df, W1_32):
+    """Mixed GN tracking quadratization (models/costs.py:103): the gradient
+    lx (residual path) in DF, the GN Hessian lxx (preconditioner) and the
+    cost value l (diagnostic) in f32 from the hi parts.
+    Returns (lx DF (12,B), lxx32 f32 (12,12,B), l32 f32 (B,))."""
+    Reb, peb = pll.se3_compose(R, p, RbiR, Rbip)
+    e = pll.se3_log(Reb, peb)
+    ev = xi - xib
+    Jex = pll.matmul(pll.se3_right_jacobian_inv(e), Adb, 6)
+    JT2 = 2.0 * pll.transpose(Jex)
+    W1e = pll.matvec(W1_df, e, 6)
+    W2ev = pll.matvec(W2_df, ev, 6)
+    lx = dfx.concatenate([pll.matvec(JT2, W1e, 6), 2.0 * W2ev], axis=0)
+    # f32 preconditioner parts
+    B = Jex.hi.shape[-1]
+    dtp = Jex.hi.dtype
+    JT2_32 = 2.0 * pll.transpose(Jex.hi)
+    H_e = pll.matmul(pll.matmul(JT2_32, W1_32, 6), Jex.hi, 6)
+    Z = jnp.zeros((6, 6, B), dtp)
+    lxx32 = pll.blk(H_e, Z, Z, 2.0 * W2_df.hi)
+    l32 = (sum(e.hi[i] * W1e.hi[i] for i in range(6))
+           + sum(ev.hi[i] * W2ev.hi[i] for i in range(6)))
+    return lx, lxx32, l32
+
+
+def riccati_stage_mx(fx, dd, lx_t, lu_t, lxx32, fu2_df, fu2T_df, fu2_32,
+                     fu2T_32, Luu32, Vx, Vxx32, *, nu, glow, half=6):
+    """One mixed-precision defect-aware Riccati step on lane-layout values.
+
+    Same math/block structure as `solvers.pipeline.riccati_stage`
+    (traopt_controller.py:1741-1748): Fu = [0; fu2], Lux = 0,
+    Fx = [[A, Bb], [C, D]] with C = 0 unless ``glow``.  The value-Hessian
+    chain runs in f32 on the hi parts; the adjoint/gradient chain
+    (Vmod, Qx, Qu, Vx) runs in DF.  Returns
+    (k32 f32, K32 f32, Qu DF, Vx_new DF, Vxx_new32 f32)."""
+    h = half
+    nx = 2 * h
+    # ---- f32 preconditioner chain (hi parts) -----------------------------
+    fx32 = fx.hi
+    A32, Bb32, D32 = fx32[:h, :h], fx32[:h, h:], fx32[h:, h:]
+    A32T = pll.transpose(A32)
+    Bb32T = pll.transpose(Bb32)
+    D32T = pll.transpose(D32)
+    vxd32 = pll.matvec(Vxx32, dd.hi, nx)          # V_xx d (reused in DF)
+    VF_l = pll.matmul(Vxx32[:, :h], A32, h)
+    VF_r = pll.matmul(Vxx32[:, :h], Bb32, h) + pll.matmul(Vxx32[:, h:],
+                                                          D32, h)
+    if glow:
+        C32 = fx32[h:, :h]
+        C32T = pll.transpose(C32)
+        VF_l = VF_l + pll.matmul(Vxx32[:, h:], C32, h)
+    VF = jnp.concatenate([VF_l, VF_r], axis=1)
+    Qxx_top = pll.matmul(A32T, VF[:h], h)
+    if glow:
+        Qxx_top = Qxx_top + pll.matmul(C32T, VF[h:], h)
+    Qxx_bot = pll.matmul(Bb32T, VF[:h], h) + pll.matmul(D32T, VF[h:], h)
+    Qxx = lxx32 + jnp.concatenate([Qxx_top, Qxx_bot], axis=0)
+    Qux = pll.matmul(fu2T_32, VF[h:], h)                     # Lux = 0
+    Quu = Luu32 + pll.matmul(fu2T_32,
+                             pll.matmul(Vxx32[h:, h:], fu2_32, h), h)
+    L = chol_factor_lane(Quu, nu)
+    K = -chol_solve_lane(L, Qux, nu)
+
+    # ---- DF gradient (adjoint) chain -------------------------------------
+    # V_xx d enters the residual multiplied by d -> 0, so the f32 product
+    # promoted to DF keeps the fixed point exact
+    Vmod = Vx + dfx.promote(vxd32)
+    AT = pll.transpose(fx[:h, :h])
+    BbT = pll.transpose(fx[:h, h:])
+    DT = pll.transpose(fx[h:, h:])
+    Qx_top = pll.matvec(AT, Vmod[:h], h)
+    Qx_bot = pll.matvec(BbT, Vmod[:h], h) + pll.matvec(DT, Vmod[h:], h)
+    if glow:
+        CT = pll.transpose(fx[h:, :h])
+        Qx_top = Qx_top + pll.matvec(CT, Vmod[h:], h)
+    Qx = lx_t + dfx.concatenate([Qx_top, Qx_bot], axis=0)
+    Qu = lu_t + pll.matvec(fu2T_df, Vmod[h:], h)
+
+    # k from the f32 Cholesky of the DF gradient's correct f32 rounding:
+    # relative error only -> the iteration still converges to Qu_DF = 0
+    k = -chol_solve_lane(L, Qu.hi[:, None, :], nu)[:, 0, :]
+
+    # vanishing V_x correction terms (all ∝ k / Qu) in f32
+    KT = pll.transpose(K)
+    QuxT = pll.transpose(Qux)
+    KTQuu = pll.matmul(KT, Quu, nu)
+    corr32 = (pll.matvec(KTQuu, k, nu) + pll.matvec(KT, Qu.hi, nu)
+              + pll.matvec(QuxT, k, nu))
+    Vx_new = Qx + dfx.promote(corr32)
+
+    M = pll.matmul(KT, Qux, nu)
+    S = Qxx + pll.matmul(KTQuu, K, nu)
+    Vxx_new = 0.5 * (S + pll.transpose(S)) + M + pll.transpose(M)
+    return k, K, Qu, Vx_new, Vxx_new
+
+
+def rollout_stage_mx(R_new, p_new, xi_new, qR_t, qp_t, qRn_t, qpn_t, xi_t,
+                     xin_t, u_t, k32_t, K32_t, d_t, fqR_t, fqp_t, fxi_t,
+                     Jl, Jil, Pu, mg, *, dt, gravity):
+    """One gap-closing rollout step, mixed precision: the state carry, the
+    tangent deviation xs_err, the control accumulation, and the dynamics
+    evaluation in DF; the feedback product K @ xs_err in f32 (its error is
+    multiplied by xs_err -> 0).  Math per solvers.pipeline.rollout_stage /
+    the reference MS forward pass (traopt_controller.py:2697-2726).
+    Returns (R_nn, p_nn, xi_nn, u_new, fqR_n, fqp_n, fxi_new) — all DF."""
+    Ri_inv, pi_inv = pll.se3_inverse(qR_t, qp_t)
+    Re, pe = pll.se3_compose(Ri_inv, pi_inv, R_new, p_new)
+    xs_err = dfx.concatenate(
+        [pll.se3_log(Re, pe), xi_new - xi_t], axis=0)
+
+    fb32 = k32_t + sum(K32_t[:, j, :] * xs_err.hi[j:j + 1, :]
+                       for j in range(NX))
+    u_new = u_t + dfx.promote(fb32)
+
+    fqR_n, fqp_n, fxi_new = stage_dynamics_eval(
+        R_new, p_new, xi_new, u_new, Jl, Jil, Pu, mg,
+        dt=dt, gravity=gravity)
+
+    edR, edp = pll.se3_exp(d_t[:6])
+    fiR, fip = pll.se3_inverse(fqR_t, fqp_t)
+    R_a, p_a = pll.se3_compose(qRn_t, qpn_t, edR, edp)
+    R_b, p_b = pll.se3_compose(R_a, p_a, fiR, fip)
+    R_nn, p_nn = pll.se3_compose(R_b, p_b, fqR_n, fqp_n)
+    R_nn = pll.so3_normalize(R_nn)
+    xi_nn = xin_t + fxi_new - fxi_t + d_t[6:]
+    return R_nn, p_nn, xi_nn, u_new, fqR_n, fqp_n, fxi_new
+
+
+class MixedDFPipelineSolver(DFPipelineSolver):
+    """f32 Pallas pipeline + mixed-precision DF polish (module docstring).
+
+    Drop-in replacement for `DFPipelineSolver`: same constructor, same
+    `solve` contract, same `DFState` output; `df_iterations` polish
+    iterations run the mixed backward/rollout/linearize instead of the
+    full-DF ones (~3x cheaper on-chip, same <=1e-4 accuracy)."""
+
+    # -- lane folding helpers (stage axis <-> lane axis) -------------------
+
+    def _fold(self, d):
+        """DF (N, ..., B) -> DF (..., N*B)."""
+        N = self.N
+
+        def f(x):
+            x = jnp.moveaxis(x, 0, -2)
+            return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+        return _map_df(f, d) if dfx.is_df(d) else f(d)
+
+    def _tile(self, d, B):
+        """(..., B) const -> (..., N*B)."""
+        N = self.N
+
+        def f(x):
+            x = jnp.broadcast_to(x[..., None, :], x.shape[:-1] + (N, B))
+            return x.reshape(x.shape[:-2] + (N * B,))
+        return _map_df(f, d) if dfx.is_df(d) else f(d)
+
+    def _unfold(self, d, B):
+        def f(x):
+            x = x.reshape(x.shape[:-1] + (self.N, B))
+            return jnp.moveaxis(x, -2, 0)
+        return _map_df(f, d) if dfx.is_df(d) else f(d)
+
+    # -- mixed linearization ------------------------------------------------
+
+    def _linearize_tail_mx(self, qR, qp, xi, evals, refs, consts_df,
+                           consts32):
+        """Stage linearization of the trajectory (qR, qp, xi) REUSING the
+        rollout's dynamics evaluations ``evals`` = (fqR, fqp, fxi) DF
+        (N, ..., B) — the DF twin of the f32 pipeline's fused
+        rollout+linearize kernel.  Defect d and gradient lx in DF, the GN
+        Hessian lxx in f32.  Returns the lin dict of (N, ..., B) values."""
+        B = qR.hi.shape[-1]
+        fold, tile, unfold = self._fold, (lambda d: self._tile(d, B)), \
+            (lambda d: self._unfold(d, B))
+
+        R = fold(_map_df(lambda x: x[:-1], qR))
+        p = fold(_map_df(lambda x: x[:-1], qp))
+        Rn = fold(_map_df(lambda x: x[1:], qR))
+        pn = fold(_map_df(lambda x: x[1:], qp))
+        xis = fold(_map_df(lambda x: x[:-1], xi))
+        xin = fold(_map_df(lambda x: x[1:], xi))
+        fqR, fqp, fxi = (fold(e) for e in evals)
+        Jl, Jil = tile(consts_df["Jl"]), tile(consts_df["Jil"])
+        W1, W2 = tile(consts_df["W1"]), tile(consts_df["W2"])
+        W1_32 = tile(consts32["W1"])
+        mg = tile(consts_df["mg"])
+
+        # defect vs the (already gap-closed) next state
+        Rni, pni = pll.se3_inverse(Rn, pn)
+        Rd, pd = pll.se3_compose(Rni, pni, fqR, fqp)
+        d = dfx.concatenate([pll.se3_log(Rd, pd), fxi - xin], axis=0)
+        Fx = stage_jacobian(R, xis, Jl, Jil, mg, dt=self.dt,
+                            gravity=self.gravity, exact_grav=self.exact_grav)
+        lx, lxx32, l32 = stage_cost_quad_mx(
+            R, p, xis, fold(refs["RbiR"]), fold(refs["Rbip"]),
+            fold(refs["Adb"]), fold(refs["xib"]), W1, W2, W1_32)
+
+        out = dict(fqR=fqR, fqp=fqp, fxi=fxi, d=d, Fx=Fx, lx=lx)
+        out = {k: unfold(v) for k, v in out.items()}
+        out["lxx32"] = self._unfold(lxx32, B)
+        out["l32"] = self._unfold(l32[None], B)[:, 0]
+        return out
+
+    def _linearize_mx(self, qR, qp, xi, us, refs, consts_df, consts32):
+        """Initial mixed linearization (no saved rollout evals): one
+        lane-folded DF dynamics evaluation + the fused tail."""
+        B = us.hi.shape[-1]
+        fold, tile = self._fold, (lambda d: self._tile(d, B))
+        R = fold(_map_df(lambda x: x[:-1], qR))
+        p = fold(_map_df(lambda x: x[:-1], qp))
+        xis = fold(_map_df(lambda x: x[:-1], xi))
+        u = fold(us)
+        fqR, fqp, fxi = stage_dynamics_eval(
+            R, p, xis, u, tile(consts_df["Jl"]), tile(consts_df["Jil"]),
+            tile(consts_df["Pu"]), tile(consts_df["mg"]),
+            dt=self.dt, gravity=self.gravity)
+        evals = tuple(self._unfold(e, B) for e in (fqR, fqp, fxi))
+        return self._linearize_tail_mx(qR, qp, xi, evals, refs, consts_df,
+                                       consts32)
+
+    # -- mixed backward -----------------------------------------------------
+
+    def _backward_mx(self, lin, lu, term, consts_df, consts32):
+        """Reverse scan; body = `riccati_stage_mx`.  ``term`` carries the
+        DF terminal state/refs + DF P1/P2 + f32 P1 lanes.
+        Returns (k32 (N,nu,B), K32 (N,nu,12,B), gvec DF, lN32 (B,))."""
+        (qRN, qpN, xiN, RbiRN, RbipN, AdbN, xibN, P1_df, P2_df,
+         P1_32) = term
+        lxN, lxxN32, lN32 = stage_cost_quad_mx(
+            qRN, qpN, xiN, RbiRN, RbipN, AdbN, xibN, P1_df, P2_df, P1_32)
+        fu2_df = consts_df["Fu"][6:]
+        fu2T_df = pll.transpose(fu2_df)
+        fu2_32 = consts32["Fu"][6:]
+        fu2T_32 = pll.transpose(fu2_32)
+        Luu32 = consts32["Luu"]
+        nu = lu.hi.shape[-2]
+
+        def step(carry, inp):
+            Vx, Vxx32 = _df(carry[0]), carry[1]
+            fx_p, dd_p, lx_p, lu_p, lxx32_t = inp
+            k32, K32, Qu, Vx_n, Vxx_n32 = riccati_stage_mx(
+                _df(fx_p), _df(dd_p), _df(lx_p), _df(lu_p), lxx32_t,
+                fu2_df, fu2T_df, fu2_32, fu2T_32, Luu32, Vx, Vxx32,
+                nu=nu, glow=self.gravity)
+            return ((_pair(Vx_n), Vxx_n32), (k32, K32, _pair(Qu)))
+
+        xs = (_pair(lin["Fx"]), _pair(lin["d"]), _pair(lin["lx"]),
+              _pair(lu), lin["lxx32"])
+        (_, _), (k32, K32, gvec_p) = lax.scan(
+            step, (_pair(lxN), lxxN32), xs, reverse=True)
+        return k32, K32, _df(gvec_p), lN32
+
+    # -- mixed rollout (emits the dynamics evals for the fused linearize) ---
+
+    def _rollout_mx(self, qR, qp, xi, us, k32, K32, lin, consts_df):
+        Jl, Jil = consts_df["Jl"], consts_df["Jil"]
+        Pu, mg = consts_df["Pu"], consts_df["mg"]
+
+        def step(carry, inp):
+            R_new, p_new, xi_new = (_df(c) for c in carry)
+            (qR_p, qp_p, qRn_p, qpn_p, xi_p, xin_p, u_p, d_p, fqR_p,
+             fqp_p, fxi_p, k_t, K_t) = inp
+            R_nn, p_nn, xi_nn, u_new, fqR_n, fqp_n, fxi_n = rollout_stage_mx(
+                R_new, p_new, xi_new, _df(qR_p), _df(qp_p), _df(qRn_p),
+                _df(qpn_p), _df(xi_p), _df(xin_p), _df(u_p), k_t, K_t,
+                _df(d_p), _df(fqR_p), _df(fqp_p), _df(fxi_p),
+                Jl, Jil, Pu, mg, dt=self.dt, gravity=self.gravity)
+            return ((_pair(R_nn), _pair(p_nn), _pair(xi_nn)),
+                    (_pair(R_nn), _pair(p_nn), _pair(xi_nn), _pair(u_new),
+                     _pair(fqR_n), _pair(fqp_n), _pair(fxi_n)))
+
+        sl = lambda d, s: _map_df(lambda x: x[s], d)
+        xs = (_pair(sl(qR, slice(None, -1))), _pair(sl(qp, slice(None, -1))),
+              _pair(sl(qR, slice(1, None))), _pair(sl(qp, slice(1, None))),
+              _pair(sl(xi, slice(None, -1))), _pair(sl(xi, slice(1, None))),
+              _pair(us), _pair(lin["d"]), _pair(lin["fqR"]),
+              _pair(lin["fqp"]), _pair(lin["fxi"]), k32, K32)
+        init = (_pair(sl(qR, 0)), _pair(sl(qp, 0)), _pair(sl(xi, 0)))
+        _, (oR, op, oxi, ou, efqR, efqp, efxi) = lax.scan(step, init, xs)
+        first = lambda d: _map_df(lambda x: x[:1], d)
+        app = lambda a, b: dfx.DF(
+            jnp.concatenate([a.hi, b.hi], axis=0),
+            jnp.concatenate([a.lo, b.lo], axis=0))
+        qR_new = app(first(qR), _df(oR))
+        qp_new = app(first(qp), _df(op))
+        xi_new = app(first(xi), _df(oxi))
+        evals = (_df(efqR), _df(efqp), _df(efxi))
+        return qR_new, qp_new, xi_new, _df(ou), evals
+
+    # -- driver -------------------------------------------------------------
+
+    def _solve_df(self, sp, qR, qp, xi, us):
+        """Phase 2 (mixed): overrides the full-DF polish driver; same
+        contract, the iteration body is backward_mx -> rollout_mx ->
+        fused linearize_tail_mx."""
+        B = qR.shape[-1]
+        N = self.N
+        dtp = jnp.float32
+        nu = us.shape[-2]
+        prom = lambda x: dfx.DF(x, jnp.zeros_like(x))
+        consts_df, refs_df, term_tail, Rdf, R32 = self._df_setup(sp, B)
+        cost = sp["cost"]
+        lanes = lambda M: jnp.broadcast_to(M[..., None], M.shape + (B,))
+        consts32 = dict(
+            W1=lanes(cost.Q1[0]), Fu=consts_df["Fu"].hi,
+            Luu=lanes(2.0 * R32), P1=lanes(cost.P1[0]),
+        )
+        term_mx = term_tail + (consts32["P1"],)
+
+        qRd, qpd, xid, usd = prom(qR), prom(qp), prom(xi), prom(us)
+
+        def lu_glue(usd):
+            rows = []
+            for i in range(nu):
+                acc = dfx.promote(jnp.zeros_like(usd.hi[:, 0]))
+                for j in range(nu):
+                    acc = acc + dfx.DF(Rdf.hi[i, j], Rdf.lo[i, j]) * usd[:, j]
+                rows.append((acc * 2.0)[:, None])
+            return dfx.concatenate(rows, axis=1)  # (N, nu, B) DF
+
+        last = lambda d: _map_df(lambda x: x[-1], d)
+
+        def pack_lin(lin):
+            return {k: (_pair(v) if dfx.is_df(v) else v)
+                    for k, v in lin.items()}
+
+        def unpack_lin(lp):
+            return {k: (_df(v) if isinstance(v, tuple) else v)
+                    for k, v in lp.items()}
+
+        def df_body(_, carry):
+            qRd, qpd, xid, usd = (_df(c) for c in carry[:4])
+            lin = unpack_lin(carry[4])
+            lu = lu_glue(usd)
+            term = (last(qRd), last(qpd), last(xid)) + term_mx
+            k32, K32, _, _ = self._backward_mx(lin, lu, term, consts_df,
+                                               consts32)
+            qRd, qpd, xid, usd, evals = self._rollout_mx(
+                qRd, qpd, xid, usd, k32, K32, lin, consts_df)
+            lin = self._linearize_tail_mx(qRd, qpd, xid, evals, refs_df,
+                                          consts_df, consts32)
+            return (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
+                    pack_lin(lin))
+
+        lin0 = self._linearize_mx(qRd, qpd, xid, usd, refs_df, consts_df,
+                                  consts32)
+        carry = (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
+                 pack_lin(lin0))
+        carry = lax.fori_loop(0, self.df_iterations, df_body, carry)
+        qRd, qpd, xid, usd = (_df(c) for c in carry[:4])
+        lin_d = unpack_lin(carry[4])
+
+        # final metrics: one more mixed backward at the final iterate
+        lu = lu_glue(usd)
+        term = (last(qRd), last(qpd), last(xid)) + term_mx
+        _, _, gvec, lN32 = self._backward_mx(lin_d, lu, term, consts_df,
+                                             consts32)
+        gsum = gvec.hi + gvec.lo
+        g = jnp.mean(jnp.sqrt(jnp.sum(gsum * gsum, axis=1)), axis=0)
+        us_j = usd.hi + usd.lo
+        J = (jnp.sum(lin_d["l32"], axis=0)
+             + jnp.einsum("nib,ij,njb->b", us_j, R32, us_j)
+             + lN32)
+
+        bk = lambda x: jnp.moveaxis(x, -1, 0)
+        qs = jnp.zeros((B, N + 1, 4, 4), dtp)
+        qs = qs.at[:, :, :3, :3].set(bk(qRd.hi))
+        qs = qs.at[:, :, :3, 3].set(bk(qpd.hi))
+        qs = qs.at[:, :, 3, 3].set(1.0)
+        return DFState(qs=qs, xis=bk(xid.hi), us_hi=bk(usd.hi),
+                       us_lo=bk(usd.lo), J_opt=J, grad_norm=g)

@@ -335,14 +335,12 @@ class DFPipelineSolver:
             0, self.f32_iterations, f32_body, (qR, qp, xi, us, lin0))
         return qR, qp, xi, us
 
-    def _solve_df(self, sp, qR, qp, xi, us):
-        """Phase 2: double-f32 polish (plain XLA, lane layout) from the
-        phase-1 lane state."""
-        B = qR.shape[-1]
-        N = self.N
+    def _df_setup(self, sp, B):
+        """Lane-layout DF constants/references shared by the full-DF and
+        mixed-precision (solvers/df_mixed.py) polish drivers.  Returns
+        (consts_df, refs_df, term_tail, Rdf, R32)."""
         dtp = jnp.float32
         dyn, cost = sp["dyn"], sp["cost"]
-        nu = us.shape[-2]
         hi = lambda x: x[0]
         lanes = lambda M: jnp.broadcast_to(M[..., None], M.shape + (B,))
         ref32 = lambda x: jnp.moveaxis(jnp.broadcast_to(
@@ -355,7 +353,6 @@ class DFPipelineSolver:
         else:
             mg2 = jnp.zeros((2,), dtp)
         R32 = hi(cost.R)
-        prom = lambda x: dfx.DF(x, jnp.zeros_like(x))
         dfc = lambda s2: dfx.DF(lanes(s2[0]), lanes(s2[1]))   # const
         dfr = lambda s2: dfx.DF(ref32(s2[0]), ref32(s2[1]))   # per-stage ref
 
@@ -381,9 +378,20 @@ class DFPipelineSolver:
                      one(dfr(cost.Ad_ref[:, -1:])),
                      one(dfr(cost.xi_ref[:, -1:])),
                      dfc(cost.P1), dfc(cost.P2))
+        Rdf = dfx.DF(cost.R[0], cost.R[1])  # (nu, nu)
+        return consts_df, refs_df, term_tail, Rdf, R32
+
+    def _solve_df(self, sp, qR, qp, xi, us):
+        """Phase 2: double-f32 polish (plain XLA, lane layout) from the
+        phase-1 lane state."""
+        B = qR.shape[-1]
+        N = self.N
+        dtp = jnp.float32
+        nu = us.shape[-2]
+        prom = lambda x: dfx.DF(x, jnp.zeros_like(x))
+        consts_df, refs_df, term_tail, Rdf, R32 = self._df_setup(sp, B)
 
         qRd, qpd, xid, usd = prom(qR), prom(qp), prom(xi), prom(us)
-        Rdf = dfx.DF(cost.R[0], cost.R[1])  # (nu, nu)
 
         def lu_glue(usd):
             rows = []
