@@ -83,6 +83,24 @@ res_wc = al.solve(dp, cp, batches[1], xi0s, us0, n_al_iters=N_AL,
                   warm_start=True, warm_iters=WARM_ITERS)
 du = float(jnp.max(jnp.abs(res_wc.us - res_c.us)))
 
+# the metric the reference's benchmark actually plots
+# (benchmark_SE3_tracking.py:832-848, cost._err): per-stage pose tracking
+# error ||Log(q_ref^-1 q)|| along the closed trajectory.  The warm mode's
+# 200.0 max control difference (flat input directions, R ~ 1e-5) must NOT
+# show up here — both modes must track equally well.
+from trajectory_optimization_matrix_lie_groups_tpu.ops import se3 as se3o
+
+
+def track_err(qs):  # (B, N+1, 4, 4) -> (B, N+1)
+    qri = jax.vmap(se3o.inverse)(jnp.asarray(q_ref, jnp.float32))
+    e = jax.vmap(lambda qrow: jax.vmap(
+        lambda qi, qr: se3o.log(qr @ qi))(qrow, qri))(qs)
+    return jnp.linalg.norm(e, axis=-1)
+
+
+te_c = track_err(res_c.qs)
+te_w = track_err(res_wc.qs)
+
 mvc = np.asarray(res_c.max_violation)
 mvw = np.asarray(res_w.max_violation)
 result = dict(
@@ -95,6 +113,12 @@ result = dict(
     cold_lanes_converged_frac=round(float((mvc < 1e-2).mean()), 4),
     warm_lanes_converged_frac=round(float((mvw < 1e-2).mean()), 4),
     warm_vs_cold_us_max_diff=du,
+    tracking_err_mean_cold=round(float(te_c.mean()), 6),
+    tracking_err_mean_warm=round(float(te_w.mean()), 6),
+    tracking_err_max_cold=round(float(te_c.max()), 6),
+    tracking_err_max_warm=round(float(te_w.max()), 6),
+    warm_vs_cold_tracking_mean_rel=round(
+        float(te_w.mean() / max(float(te_c.mean()), 1e-12)), 4),
     u_range_warm=[round(float(res_w.us.min()), 2),
                   round(float(res_w.us.max()), 2)],
 )

@@ -70,9 +70,11 @@ nu = 6
 def setup(qR, qp, xi, us):
     consts_df, refs_df, term_tail, Rdf, R32 = mx._df_setup(sp, B)
     lanes = lambda M: jnp.broadcast_to(M[..., None], M.shape + (B,))
-    cost = sp["cost"]
+    cost, dyn = sp["cost"], sp["dyn"]
     consts32 = dict(W1=lanes(cost.Q1[0]), Fu=consts_df["Fu"].hi,
-                    Luu=lanes(2.0 * R32), P1=lanes(cost.P1[0]))
+                    Luu=lanes(2.0 * R32), P1=lanes(cost.P1[0]),
+                    Jl=lanes(dyn.J[0]), Jil=lanes(dyn.Jinv[0]),
+                    mg=jnp.zeros((1, B), jnp.float32))
     prom = lambda x: (x, jnp.zeros_like(x))
     return consts_df, refs_df, term_tail, Rdf, R32, consts32, \
         (prom(qR), prom(qp), prom(xi), prom(us))
@@ -148,9 +150,12 @@ try:
             t0 = time.perf_counter()
             out = fn(*args)
             jax.block_until_ready(out)
-            # host barrier on a small data-dependent slice
+            # host barrier on a SMALL data-dependent slice (shipping a
+            # full (N,12,12,B) tensor through the tunnel costs seconds
+            # and would dominate the measurement)
             leaf = jax.tree.leaves(out)[0]
-            _ = np.asarray(leaf).ravel()[:8]
+            sl = leaf[(0,) * (leaf.ndim - 1)] if leaf.ndim else leaf
+            _ = np.asarray(sl)
             best = min(best, time.perf_counter() - t0)
         return best
 

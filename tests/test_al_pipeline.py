@@ -198,3 +198,20 @@ def test_al_pipeline_warm_start_agrees_with_cold():
     assert float(rel.max()) < 0.05, rel
     assert float(warm.us.max()) <= ub + 1e-1
     assert float(warm.us.min()) >= lb - 1e-1
+
+    # round-3 VERDICT item 6: the metric the reference benchmarks plot
+    # (benchmark_SE3_tracking.py:832-848) — per-stage pose tracking error
+    # along the solved trajectory.  The flat-direction control differences
+    # (warm vs cold us may differ by the full box width at R ~ 1e-5) must
+    # not degrade tracking: warm's mean error within 5% of cold's.
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3 as se3o
+
+    def track_err(qs):
+        qri = jax.vmap(se3o.inverse)(q_ref)
+        e = jax.vmap(lambda qrow: jax.vmap(
+            lambda qi, qr: se3o.log(qr @ qi))(qrow, qri))(qs)
+        return jnp.linalg.norm(e, axis=-1)
+
+    te_c = float(track_err(cold.qs).mean())
+    te_w = float(track_err(warm.qs).mean())
+    assert te_w <= te_c * 1.05 + 1e-6, (te_w, te_c)

@@ -77,6 +77,26 @@ from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
 __all__ = ["MixedDFPipelineSolver", "riccati_stage_mx", "stage_cost_quad_mx"]
 
 
+def matvec_f32_df(A32, v, m):
+    """Compensated (n,m,B) f32-matrix x DF-vector product -> DF (n,B).
+
+    Each elementary product A_ik v_k is an error-free transformation of
+    the f32 entry with the DF value's hi part (Dekker two_prod) plus the
+    exactly-representable A_ik * lo cross term; terms accumulate with the
+    full DF add.  Error ~ eps_f32^2 * |A||v| per term — the same grade as
+    a DF-matrix product when A itself is EXACT at f32 (which is the use
+    case: an f32-computed Jacobian whose value IS the operand, see
+    `MixedDFPipelineSolver(fx_mode='f32')`)."""
+    acc = None
+    for k in range(m):
+        a = A32[:, k, :]
+        p, e = dfx._two_prod(a, v.hi[k:k + 1, :])
+        e = e + a * v.lo[k:k + 1, :]
+        term = dfx.DF(*dfx._quick_two_sum(p, e))
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def stage_cost_quad_mx(R, p, xi, RbiR, Rbip, Adb, xib, W1_df, W2_df, W1_32):
     """Mixed GN tracking quadratization (models/costs.py:103): the gradient
     lx (residual path) in DF, the GN Hessian lxx (preconditioner) and the
@@ -111,11 +131,17 @@ def riccati_stage_mx(fx, dd, lx_t, lu_t, lxx32, fu2_df, fu2T_df, fu2_32,
     Fx = [[A, Bb], [C, D]] with C = 0 unless ``glow``.  The value-Hessian
     chain runs in f32 on the hi parts; the adjoint/gradient chain
     (Vmod, Qx, Qu, Vx) runs in DF.  Returns
-    (k32 f32, K32 f32, Qu DF, Vx_new DF, Vxx_new32 f32)."""
+    (k32 f32, K32 f32, Qu DF, Vx_new DF, Vxx_new32 f32).
+
+    ``fx`` may be a DF value (the DF-computed Jacobian) or a plain f32
+    array (``fx_mode='f32'``): then the adjoint matvecs run as compensated
+    f32xDF products (`matvec_f32_df`) — the Jacobian VALUE carries f32
+    rounding, but the products against the DF adjoint stay error-free."""
     h = half
     nx = 2 * h
+    fx_is_df = dfx.is_df(fx)
     # ---- f32 preconditioner chain (hi parts) -----------------------------
-    fx32 = fx.hi
+    fx32 = fx.hi if fx_is_df else fx
     A32, Bb32, D32 = fx32[:h, :h], fx32[:h, h:], fx32[h:, h:]
     A32T = pll.transpose(A32)
     Bb32T = pll.transpose(Bb32)
@@ -144,14 +170,21 @@ def riccati_stage_mx(fx, dd, lx_t, lu_t, lxx32, fu2_df, fu2T_df, fu2_32,
     # V_xx d enters the residual multiplied by d -> 0, so the f32 product
     # promoted to DF keeps the fixed point exact
     Vmod = Vx + dfx.promote(vxd32)
-    AT = pll.transpose(fx[:h, :h])
-    BbT = pll.transpose(fx[:h, h:])
-    DT = pll.transpose(fx[h:, h:])
-    Qx_top = pll.matvec(AT, Vmod[:h], h)
-    Qx_bot = pll.matvec(BbT, Vmod[:h], h) + pll.matvec(DT, Vmod[h:], h)
-    if glow:
-        CT = pll.transpose(fx[h:, :h])
-        Qx_top = Qx_top + pll.matvec(CT, Vmod[h:], h)
+    if fx_is_df:
+        AT = pll.transpose(fx[:h, :h])
+        BbT = pll.transpose(fx[:h, h:])
+        DT = pll.transpose(fx[h:, h:])
+        Qx_top = pll.matvec(AT, Vmod[:h], h)
+        Qx_bot = pll.matvec(BbT, Vmod[:h], h) + pll.matvec(DT, Vmod[h:], h)
+        if glow:
+            CT = pll.transpose(fx[h:, :h])
+            Qx_top = Qx_top + pll.matvec(CT, Vmod[h:], h)
+    else:
+        Qx_top = matvec_f32_df(A32T, Vmod[:h], h)
+        Qx_bot = (matvec_f32_df(Bb32T, Vmod[:h], h)
+                  + matvec_f32_df(D32T, Vmod[h:], h))
+        if glow:
+            Qx_top = Qx_top + matvec_f32_df(C32T, Vmod[h:], h)
     Qx = lx_t + dfx.concatenate([Qx_top, Qx_bot], axis=0)
     Qu = lu_t + pll.matvec(fu2T_df, Vmod[h:], h)
 
@@ -211,7 +244,23 @@ class MixedDFPipelineSolver(DFPipelineSolver):
     Drop-in replacement for `DFPipelineSolver`: same constructor, same
     `solve` contract, same `DFState` output; `df_iterations` polish
     iterations run the mixed backward/rollout/linearize instead of the
-    full-DF ones (~3x cheaper on-chip, same <=1e-4 accuracy)."""
+    full-DF ones (~3x cheaper on-chip, same <=1e-4 accuracy).
+
+    ``fx_mode``: 'df' (default) computes the stage Jacobian in DF; 'f32'
+    computes it in f32 from the hi-part state and runs the adjoint-chain
+    products as compensated f32xDF (`matvec_f32_df`).  'f32' is ~33%
+    faster (0.53 vs 0.71 s/iteration at the bench config) but the
+    Jacobian's f32 rounding is a PERSISTENT gradient bias: the polish
+    converges (grad 5e-8) to a point 3.6e-4 from the f64 optimum at
+    N=200 — OUTSIDE the 1e-4 gate (measured, records name=df_mixed_tpu
+    2026-08-21; H=30 CPU shows the same 2x degradation at 6.1e-5).  Use
+    'f32' only where ~4e-4 control fidelity suffices."""
+
+    def __init__(self, *args, fx_mode: str = "df", **kwargs):
+        if fx_mode not in ("df", "f32"):
+            raise ValueError(f"fx_mode must be 'df' or 'f32', got {fx_mode}")
+        self.fx_mode = fx_mode
+        super().__init__(*args, **kwargs)
 
     # -- lane folding helpers (stage axis <-> lane axis) -------------------
 
@@ -268,8 +317,15 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         Rni, pni = pll.se3_inverse(Rn, pn)
         Rd, pd = pll.se3_compose(Rni, pni, fqR, fqp)
         d = dfx.concatenate([pll.se3_log(Rd, pd), fxi - xin], axis=0)
-        Fx = stage_jacobian(R, xis, Jl, Jil, mg, dt=self.dt,
-                            gravity=self.gravity, exact_grav=self.exact_grav)
+        if self.fx_mode == "f32":
+            Fx = stage_jacobian(
+                R.hi, xis.hi, tile(consts32["Jl"]), tile(consts32["Jil"]),
+                tile(consts32["mg"]), dt=self.dt, gravity=self.gravity,
+                exact_grav=self.exact_grav)
+        else:
+            Fx = stage_jacobian(R, xis, Jl, Jil, mg, dt=self.dt,
+                                gravity=self.gravity,
+                                exact_grav=self.exact_grav)
         lx, lxx32, l32 = stage_cost_quad_mx(
             R, p, xis, fold(refs["RbiR"]), fold(refs["Rbip"]),
             fold(refs["Adb"]), fold(refs["xib"]), W1, W2, W1_32)
@@ -317,13 +373,15 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         def step(carry, inp):
             Vx, Vxx32 = _df(carry[0]), carry[1]
             fx_p, dd_p, lx_p, lu_p, lxx32_t = inp
+            fx_t = _df(fx_p) if isinstance(fx_p, tuple) else fx_p
             k32, K32, Qu, Vx_n, Vxx_n32 = riccati_stage_mx(
-                _df(fx_p), _df(dd_p), _df(lx_p), _df(lu_p), lxx32_t,
+                fx_t, _df(dd_p), _df(lx_p), _df(lu_p), lxx32_t,
                 fu2_df, fu2T_df, fu2_32, fu2T_32, Luu32, Vx, Vxx32,
                 nu=nu, glow=self.gravity)
             return ((_pair(Vx_n), Vxx_n32), (k32, K32, _pair(Qu)))
 
-        xs = (_pair(lin["Fx"]), _pair(lin["d"]), _pair(lin["lx"]),
+        fx_xs = (_pair(lin["Fx"]) if dfx.is_df(lin["Fx"]) else lin["Fx"])
+        xs = (fx_xs, _pair(lin["d"]), _pair(lin["lx"]),
               _pair(lu), lin["lxx32"])
         (_, _), (k32, K32, gvec_p) = lax.scan(
             step, (_pair(lxN), lxxN32), xs, reverse=True)
@@ -380,9 +438,13 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         consts_df, refs_df, term_tail, Rdf, R32 = self._df_setup(sp, B)
         cost = sp["cost"]
         lanes = lambda M: jnp.broadcast_to(M[..., None], M.shape + (B,))
+        dyn = sp["dyn"]
+        mg32 = (jnp.broadcast_to(dyn.m[0] * dyn.g[0], (1, B))
+                if self.gravity else jnp.zeros((1, B), dtp))
         consts32 = dict(
             W1=lanes(cost.Q1[0]), Fu=consts_df["Fu"].hi,
             Luu=lanes(2.0 * R32), P1=lanes(cost.P1[0]),
+            Jl=lanes(dyn.J[0]), Jil=lanes(dyn.Jinv[0]), mg=mg32,
         )
         term_mx = term_tail + (consts32["P1"],)
 

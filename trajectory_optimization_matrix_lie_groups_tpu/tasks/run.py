@@ -1031,14 +1031,21 @@ def run_mpc_batch_constrained(args):
     errT = jnp.linalg.norm(jax.vmap(
         lambda q: se3.log(se3.inverse(cp.q_ref[T]) @ q))(res.qs[:, -1]),
         axis=-1)
-    print(json.dumps(dict(
+    result = dict(
         task="mpc_batch_constrained", batch=B, horizon=H, steps=T,
         bounds=[lb, ub], wall_s=round(wall, 3),
         mpc_solves_per_s=round(B * T / wall, 1),
         u_max=float(res.us.max()), u_min=float(res.us.min()),
         planned_violation_mean=float(jnp.mean(maxv)),
         tracking_err_mean_final=float(jnp.mean(errT)),
-    )))
+    )
+    print(json.dumps(result))
+    if jax.default_backend() == "tpu":
+        from trajectory_optimization_matrix_lie_groups_tpu.utils.records import (
+            record,
+        )
+
+        record("mpc_batch_constrained", result)
 
 
 TASKS = {
