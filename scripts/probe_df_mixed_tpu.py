@@ -112,6 +112,8 @@ f32_iter_s = t_f32 / bench.ITERS
 result = dict(
     backend=jax.default_backend(), B=B, df_iters=DF_ITERS,
     solver=cls.__name__,
+    fx_mode=getattr(dfp, "fx_mode", None),
+    kernel_polish=getattr(dfp, "kernel_polish", None),
     t_compile_s=round(t_compile, 1),
     t_f32_phase_s=round(t_f32, 3), t_df_phase_s=round(t_df, 3),
     s_per_df_iteration=round(t_df / DF_ITERS, 3),

@@ -33,10 +33,32 @@ kernels on DF operands as the high-precision polish phase of
 reference's float64-end-to-end policy, main_SE3ddp_tracking_exact_ms.py:36).
 """
 
+import contextlib
 from fractions import Fraction
 
 import jax.numpy as jnp
 import numpy as np
+
+# Trace-time switch: inside a Mosaic-compiled Pallas kernel body the
+# constant-protection `optimization_barrier`s must be SKIPPED — Mosaic has
+# no lowering for the primitive (NotImplementedError), and it also does not
+# run XLA's algebraic-simplifier constant reassociation that the barriers
+# defend against (EFT preservation on-chip is verified by test_dfx's
+# two_sum probe and the golden-gated DF pipeline accuracy).  Kernel bodies
+# wrap themselves in `barrier_disabled()` when lowering for Mosaic;
+# interpret-mode kernels (which XLA compiles) keep the barriers.
+_NO_BARRIER = False
+
+
+@contextlib.contextmanager
+def barrier_disabled():
+    global _NO_BARRIER
+    prev = _NO_BARRIER
+    _NO_BARRIER = True
+    try:
+        yield
+    finally:
+        _NO_BARRIER = prev
 
 __all__ = [
     "DF", "is_df", "promote", "const", "split_f64", "join_f64",
@@ -206,6 +228,8 @@ def _opaque_const(c, ref_hi):
     from jax import lax as _lax
 
     dt = getattr(ref_hi, "dtype", jnp.float32)
+    if _NO_BARRIER:
+        return DF(jnp.asarray(c.hi, dt), jnp.asarray(c.lo, dt))
     h, l = _lax.optimization_barrier(
         (jnp.asarray(c.hi, dt), jnp.asarray(c.lo, dt)))
     return DF(h, l)
@@ -219,6 +243,8 @@ def opaque(x):
     constant reassociation (see `_opaque_const`)."""
     from jax import lax as _lax
 
+    if _NO_BARRIER:
+        return x
     return _lax.optimization_barrier(x)
 
 
@@ -408,8 +434,10 @@ def poly(x, coeffs):
     terms = []
     for c in coeffs:
         cp = promote(c)
-        ch, cl = _lax.optimization_barrier(
-            (jnp.asarray(cp.hi, x.hi.dtype), jnp.asarray(cp.lo, x.hi.dtype)))
+        ch = jnp.asarray(cp.hi, x.hi.dtype)
+        cl = jnp.asarray(cp.lo, x.hi.dtype)
+        if not _NO_BARRIER:  # Mosaic kernel bodies: see barrier_disabled
+            ch, cl = _lax.optimization_barrier((ch, cl))
         terms.append(DF(b + ch, b + cl))
     p = x
     while len(terms) > 1:

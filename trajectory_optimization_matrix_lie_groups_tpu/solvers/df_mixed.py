@@ -50,10 +50,14 @@ gated by tests/test_df_mixed.py at the same <=1e-4 bar as the full-DF
 path (measured: the two agree to the flat-direction indeterminacy).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from trajectory_optimization_matrix_lie_groups_tpu.ops import dfx
 from trajectory_optimization_matrix_lie_groups_tpu.ops import pallas_lie as pll
@@ -69,6 +73,8 @@ from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_pipeline import (
     _pair,
 )
 from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
+    _DIMSEM,
+    _DIMSEM_PAR,
     NX,
     chol_factor_lane,
     chol_solve_lane,
@@ -238,6 +244,118 @@ def rollout_stage_mx(R_new, p_new, xi_new, qR_t, qp_t, qRn_t, qpn_t, xi_t,
     return R_nn, p_nn, xi_nn, u_new, fqR_n, fqp_n, fxi_new
 
 
+def _nobar(kernel_fn):
+    """Run a Pallas kernel body with dfx's constant-protection barriers
+    disabled (``nobar=True``): Mosaic has no lowering for
+    `optimization_barrier` and does not run the XLA simplifier pass the
+    barriers defend against.  Interpret-mode kernels (compiled by XLA)
+    pass ``nobar=False`` and keep them."""
+    @functools.wraps(kernel_fn)
+    def wrapped(*args, nobar=False, **kw):
+        if nobar:
+            with dfx.barrier_disabled():
+                return kernel_fn(*args, **kw)
+        return kernel_fn(*args, **kw)
+    return wrapped
+
+
+@_nobar
+def _riccati_kernel_mx(FxH, FxL, dH, dL, lxH, lxL, luH, luL, lxx32_ref,
+                       VxNH, VxNL, VxxN32,
+                       FuH, FuL, Luu32,
+                       kO, KO, gH, gL,
+                       VxH_s, VxL_s, Vxx_s, *, nu, chunk, glow):
+    """Pallas twin of `MixedDFPipelineSolver._backward_mx`'s scan: the
+    mixed Riccati recursion with the DF adjoint carry (two f32 scratch
+    planes) and the f32 value-Hessian carry, grid (batch_tiles, N//chunk)
+    reverse over stages.  Unlike the f32 kernel, the terminal mixed
+    quadratization runs OUTSIDE as XLA glue (its DF body alone is ~16k
+    primitives — in-kernel it would put the body past the remote
+    compiler's ceiling); the initial carry arrives as the (VxN, VxxN32)
+    inputs."""
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        VxH_s[:] = VxNH[:]
+        VxL_s[:] = VxNL[:]
+        Vxx_s[:] = VxxN32[:]
+
+    fu2 = dfx.DF(FuH[:][6:], FuL[:][6:])
+    fu2T = pll.transpose(fu2)
+    fu2_32 = FuH[:][6:]
+    fu2T_32 = pll.transpose(fu2_32)
+    Luu = Luu32[:]
+    Vx = dfx.DF(VxH_s[:], VxL_s[:])
+    Vxx = Vxx_s[:]
+    for t in reversed(range(chunk)):
+        k32, K32, Qu, Vx, Vxx = riccati_stage_mx(
+            dfx.DF(FxH[t], FxL[t]), dfx.DF(dH[t], dL[t]),
+            dfx.DF(lxH[t], lxL[t]), dfx.DF(luH[t], luL[t]), lxx32_ref[t],
+            fu2, fu2T, fu2_32, fu2T_32, Luu, Vx, Vxx, nu=nu, glow=glow)
+        kO[t] = k32
+        KO[t] = K32
+        gH[t] = Qu.hi
+        gL[t] = Qu.lo
+    VxH_s[:] = Vx.hi
+    VxL_s[:] = Vx.lo
+    Vxx_s[:] = Vxx
+
+
+@_nobar
+def _defect_kernel_mx(qRnH, qRnL, qpnH, qpnL, xinH, xinL,
+                      fqRH, fqRL, fqpH, fqpL, fxiH, fxiL,
+                      dHo, dLo, *, chunk):
+    """Stage-parallel DF defect: d = [Log(x_{t+1}^-1 f(x_t,u_t)); dxi]."""
+    for t in range(chunk):
+        Rn = dfx.DF(qRnH[t], qRnL[t])
+        pn = dfx.DF(qpnH[t], qpnL[t])
+        fqR = dfx.DF(fqRH[t], fqRL[t])
+        fqp = dfx.DF(fqpH[t], fqpL[t])
+        Rni, pni = pll.se3_inverse(Rn, pn)
+        Rd, pd = pll.se3_compose(Rni, pni, fqR, fqp)
+        dpose = pll.se3_log(Rd, pd)
+        dxi = dfx.DF(fxiH[t], fxiL[t]) - dfx.DF(xinH[t], xinL[t])
+        d = dfx.concatenate([dpose, dxi], axis=0)
+        dHo[t] = d.hi
+        dLo[t] = d.lo
+
+
+@_nobar
+def _jacobian_kernel_mx(qRH, qRL, xiH, xiL, JlH, JlL, JilH, JilL,
+                        mgH, mgL, FxHo, FxLo, *, dt, gravity, exact_grav,
+                        chunk):
+    """Stage-parallel DF dynamics Jacobian (the largest DF term of the
+    linearizer: 49k flops/lane, records name=roofline_f32_df)."""
+    Jl = dfx.DF(JlH[:], JlL[:])
+    Jil = dfx.DF(JilH[:], JilL[:])
+    mg = dfx.DF(mgH[:], mgL[:])
+    for t in range(chunk):
+        Fx = stage_jacobian(dfx.DF(qRH[t], qRL[t]), dfx.DF(xiH[t], xiL[t]),
+                            Jl, Jil, mg, dt=dt, gravity=gravity,
+                            exact_grav=exact_grav)
+        FxHo[t] = Fx.hi
+        FxLo[t] = Fx.lo
+
+
+@_nobar
+def _cost_quad_kernel_mx(qRH, qRL, qpH, qpL, xiH, xiL,
+                         RbH, RbL, RpH, RpL, AdH, AdL, xbH, xbL,
+                         W1H, W1L, W2H, W2L, W1_32,
+                         lxHo, lxLo, lxx32o, l32o, *, chunk):
+    """Stage-parallel mixed GN quadratization (DF lx, f32 lxx/l)."""
+    W1 = dfx.DF(W1H[:], W1L[:])
+    W2 = dfx.DF(W2H[:], W2L[:])
+    for t in range(chunk):
+        lx, lxx32, l32 = stage_cost_quad_mx(
+            dfx.DF(qRH[t], qRL[t]), dfx.DF(qpH[t], qpL[t]),
+            dfx.DF(xiH[t], xiL[t]), dfx.DF(RbH[t], RbL[t]),
+            dfx.DF(RpH[t], RpL[t]), dfx.DF(AdH[t], AdL[t]),
+            dfx.DF(xbH[t], xbL[t]), W1, W2, W1_32[:])
+        lxHo[t] = lx.hi
+        lxLo[t] = lx.lo
+        lxx32o[t] = lxx32
+        l32o[t] = l32[None]
+
+
 class MixedDFPipelineSolver(DFPipelineSolver):
     """f32 Pallas pipeline + mixed-precision DF polish (module docstring).
 
@@ -256,11 +374,21 @@ class MixedDFPipelineSolver(DFPipelineSolver):
     2026-08-21; H=30 CPU shows the same 2x degradation at 6.1e-5).  Use
     'f32' only where ~4e-4 control fidelity suffices."""
 
-    def __init__(self, *args, fx_mode: str = "df", **kwargs):
+    def __init__(self, *args, fx_mode: str = "df", kernel_polish=None,
+                 **kwargs):
+        """``kernel_polish``: run the polish backward and the stage-
+        parallel linearizer pieces as Pallas kernels instead of plain XLA
+        (the XLA lane-folded path achieves only ~450 GFLOP/s vs the
+        Pallas kernels' ~1.1 TFLOP/s — records name=df_mixed_subphase_
+        split / roofline_f32_df).  Default: on for compiled runs, off in
+        interpret mode (the DF kernel bodies are 2k-16k primitives; an
+        interpreted grid sweep over them is minutes-slow)."""
         if fx_mode not in ("df", "f32"):
             raise ValueError(f"fx_mode must be 'df' or 'f32', got {fx_mode}")
         self.fx_mode = fx_mode
         super().__init__(*args, **kwargs)
+        self.kernel_polish = (not self.base.interpret
+                              if kernel_polish is None else kernel_polish)
 
     # -- lane folding helpers (stage axis <-> lane axis) -------------------
 
@@ -297,6 +425,9 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         (N, ..., B) — the DF twin of the f32 pipeline's fused
         rollout+linearize kernel.  Defect d and gradient lx in DF, the GN
         Hessian lxx in f32.  Returns the lin dict of (N, ..., B) values."""
+        if self.kernel_polish:
+            return self._linearize_tail_mx_k(qR, qp, xi, evals, refs,
+                                             consts_df, consts32)
         B = qR.hi.shape[-1]
         fold, tile, unfold = self._fold, (lambda d: self._tile(d, B)), \
             (lambda d: self._unfold(d, B))
@@ -355,10 +486,167 @@ class MixedDFPipelineSolver(DFPipelineSolver):
 
     # -- mixed backward -----------------------------------------------------
 
+    def _backward_mx_k(self, lin, lu, term, consts_df, consts32):
+        """Pallas twin of `_backward_mx` (kernel `_riccati_kernel_mx`)."""
+        N = self.N
+        B = lu.hi.shape[-1]
+        nu = lu.hi.shape[-2]
+        dtp = jnp.float32
+        nb, bt = self.base._tiles(B)
+        ck = self.base.stage_chunk
+        nc = N // ck
+
+        def spec(a):
+            r = len(a.shape)
+            return pl.BlockSpec(
+                (ck,) + a.shape[1:-1] + (bt,),
+                lambda b, i, r=r: (nc - 1 - i,) + (0,) * (r - 2) + (b,))
+
+        def cspec(a):
+            r = len(a.shape)
+            return pl.BlockSpec(a.shape[:-1] + (bt,),
+                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+
+        (qRN, qpN, xiN, RbiRN, RbipN, AdbN, xibN, P1_df, P2_df,
+         P1_32) = term
+        # terminal mixed quadratization as XLA glue (see kernel docstring)
+        lxN, lxxN32, lN32 = stage_cost_quad_mx(
+            qRN, qpN, xiN, RbiRN, RbipN, AdbN, xibN, P1_df, P2_df, P1_32)
+        ins = [lin["Fx"].hi, lin["Fx"].lo, lin["d"].hi, lin["d"].lo,
+               lin["lx"].hi, lin["lx"].lo, lu.hi, lu.lo, lin["lxx32"]]
+        consts_in = [lxN.hi, lxN.lo, lxxN32,
+                     consts_df["Fu"].hi, consts_df["Fu"].lo,
+                     consts32["Luu"]]
+        in_specs = [spec(a) for a in ins] + [cspec(a) for a in consts_in]
+        out_shapes = (
+            jax.ShapeDtypeStruct((N, nu, B), dtp),       # k32
+            jax.ShapeDtypeStruct((N, nu, NX, B), dtp),   # K32
+            jax.ShapeDtypeStruct((N, nu, B), dtp),       # gvec hi
+            jax.ShapeDtypeStruct((N, nu, B), dtp),       # gvec lo
+        )
+        out_specs = tuple(spec(s) for s in out_shapes)
+        kernel = functools.partial(_riccati_kernel_mx, nu=nu, chunk=ck,
+                                   glow=self.gravity,
+                                   nobar=not self.base.interpret)
+        k32, K32, gH, gL = pl.pallas_call(
+            kernel, grid=(nb, nc), out_shape=out_shapes,
+            in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((NX, bt), dtp),
+                            pltpu.VMEM((NX, bt), dtp),
+                            pltpu.VMEM((NX, NX, bt), dtp)],
+            interpret=self.base.interpret,
+            compiler_params=None if self.base.interpret else _DIMSEM,
+        )(*ins, *consts_in)
+        return k32, K32, dfx.DF(gH, gL), lN32
+
+    def _linearize_tail_mx_k(self, qR, qp, xi, evals, refs, consts_df,
+                             consts32):
+        """Pallas twin of `_linearize_tail_mx`: three stage-parallel
+        kernels (defect / Jacobian / cost quad), each under the remote
+        compiler's body-size ceiling (the combined body is 37k primitives
+        — over it)."""
+        N = self.N
+        B = qR.hi.shape[-1]
+        dtp = jnp.float32
+        nb, bt = self.base._tiles(B)
+        # chunk=1 always: these kernels carry no recursion state (chunking
+        # only amortizes grid overhead) and their DF bodies are 7k-16k
+        # primitives EACH — chunk=4 would put every body 3x past the
+        # remote compiler's ~20k ceiling (CLAUDE.md)
+        ck = 1
+        interp = self.base.interpret
+        dimsem = None if interp else _DIMSEM_PAR
+
+        def spec(a):
+            r = len(a.shape)
+            return pl.BlockSpec((ck,) + a.shape[1:-1] + (bt,),
+                                lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
+
+        def cspec(a):
+            r = len(a.shape)
+            return pl.BlockSpec(a.shape[:-1] + (bt,),
+                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+
+        sl0 = lambda d: _map_df(lambda x: x[:-1], d)
+        sl1 = lambda d: _map_df(lambda x: x[1:], d)
+        fqR, fqp, fxi = evals
+
+        # ---- defect kernel -----------------------------------------------
+        ins_d = [sl1(qR).hi, sl1(qR).lo, sl1(qp).hi, sl1(qp).lo,
+                 sl1(xi).hi, sl1(xi).lo, fqR.hi, fqR.lo, fqp.hi, fqp.lo,
+                 fxi.hi, fxi.lo]
+        out_shapes_d = (jax.ShapeDtypeStruct((N, 12, B), dtp),
+                        jax.ShapeDtypeStruct((N, 12, B), dtp))
+        dH, dL = pl.pallas_call(
+            functools.partial(_defect_kernel_mx, chunk=ck,
+                              nobar=not interp),
+            grid=(nb, N // ck), out_shape=out_shapes_d,
+            in_specs=[spec(a) for a in ins_d],
+            out_specs=tuple(spec(s) for s in out_shapes_d),
+            interpret=interp, compiler_params=dimsem,
+        )(*ins_d)
+
+        # ---- Jacobian kernel ---------------------------------------------
+        if self.fx_mode == "f32":
+            fold = self._fold
+            tile = lambda d: self._tile(d, B)
+            Fx32 = stage_jacobian(
+                fold(sl0(qR)).hi, fold(sl0(xi)).hi, tile(consts32["Jl"]),
+                tile(consts32["Jil"]), tile(consts32["mg"]), dt=self.dt,
+                gravity=self.gravity, exact_grav=self.exact_grav)
+            Fx = self._unfold(Fx32, B)
+        else:
+            ins_j = [sl0(qR).hi, sl0(qR).lo, sl0(xi).hi, sl0(xi).lo]
+            consts_j = [consts_df["Jl"].hi, consts_df["Jl"].lo,
+                        consts_df["Jil"].hi, consts_df["Jil"].lo,
+                        consts_df["mg"].hi, consts_df["mg"].lo]
+            out_shapes_j = (jax.ShapeDtypeStruct((N, 12, 12, B), dtp),
+                            jax.ShapeDtypeStruct((N, 12, 12, B), dtp))
+            FxH, FxL = pl.pallas_call(
+                functools.partial(_jacobian_kernel_mx, dt=self.dt,
+                                  gravity=self.gravity,
+                                  exact_grav=self.exact_grav, chunk=ck,
+                                  nobar=not interp),
+                grid=(nb, N // ck), out_shape=out_shapes_j,
+                in_specs=[spec(a) for a in ins_j]
+                + [cspec(a) for a in consts_j],
+                out_specs=tuple(spec(s) for s in out_shapes_j),
+                interpret=interp, compiler_params=dimsem,
+            )(*ins_j, *consts_j)
+            Fx = dfx.DF(FxH, FxL)
+
+        # ---- cost-quad kernel --------------------------------------------
+        ins_c = [sl0(qR).hi, sl0(qR).lo, sl0(qp).hi, sl0(qp).lo,
+                 sl0(xi).hi, sl0(xi).lo,
+                 refs["RbiR"].hi, refs["RbiR"].lo,
+                 refs["Rbip"].hi, refs["Rbip"].lo,
+                 refs["Adb"].hi, refs["Adb"].lo,
+                 refs["xib"].hi, refs["xib"].lo]
+        consts_c = [consts_df["W1"].hi, consts_df["W1"].lo,
+                    consts_df["W2"].hi, consts_df["W2"].lo,
+                    consts32["W1"]]
+        out_shapes_c = (jax.ShapeDtypeStruct((N, 12, B), dtp),
+                        jax.ShapeDtypeStruct((N, 12, B), dtp),
+                        jax.ShapeDtypeStruct((N, 12, 12, B), dtp),
+                        jax.ShapeDtypeStruct((N, 1, B), dtp))
+        lxH, lxL, lxx32, l32 = pl.pallas_call(
+            functools.partial(_cost_quad_kernel_mx, chunk=ck,
+                              nobar=not interp),
+            grid=(nb, N // ck), out_shape=out_shapes_c,
+            in_specs=[spec(a) for a in ins_c] + [cspec(a) for a in consts_c],
+            out_specs=tuple(spec(s) for s in out_shapes_c),
+            interpret=interp, compiler_params=dimsem,
+        )(*ins_c, *consts_c)
+
+        return dict(fqR=fqR, fqp=fqp, fxi=fxi, d=dfx.DF(dH, dL), Fx=Fx,
+                    lx=dfx.DF(lxH, lxL), lxx32=lxx32, l32=l32[:, 0])
+
     def _backward_mx(self, lin, lu, term, consts_df, consts32):
         """Reverse scan; body = `riccati_stage_mx`.  ``term`` carries the
         DF terminal state/refs + DF P1/P2 + f32 P1 lanes.
         Returns (k32 (N,nu,B), K32 (N,nu,12,B), gvec DF, lN32 (B,))."""
+        if self.kernel_polish:
+            return self._backward_mx_k(lin, lu, term, consts_df, consts32)
         (qRN, qpN, xiN, RbiRN, RbipN, AdbN, xibN, P1_df, P2_df,
          P1_32) = term
         lxN, lxxN32, lN32 = stage_cost_quad_mx(
