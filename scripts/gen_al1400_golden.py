@@ -48,15 +48,19 @@ constr_p = cs.input_box_params(lb, ub, 6)
 al_cd = costs.al_cost(cost_def, constr)
 model, _ = make_model(dyn_def, al_cd, params["dyn"], None)
 alp = costs.al_init_params(params["cost"], constr_p, H, constr.constr_size,
-                           mu0=1.0, dtype=jnp.float64)
+                           mu0=1e-2, dtype=jnp.float64)  # reference-hardcoded mu0 (traopt_controller.py:3182)
 
-inner = FastBatchSolver(model, N=H, iterations=60, use_pallas=False,
-                        line_search=True)
+# Fixed-budget (alpha = 1) inner: on this problem the merit line search
+# stalls (60 LS iterations end at J ~ 8.5e5 vs the fixed-budget inner's
+# clean convergence to grad ~ 1e-16 in <= 16 iterations — the
+# unconstrained optimum needs |u| ~ 104, so the box MUST bind and the AL
+# outers do the work).
+inner = FastBatchSolver(model, N=H, iterations=40, use_pallas=False)
 al = ALFastSolver(inner, constr)
 
 res = al.solve({"dyn": params["dyn"], "cost": alp},
                q0[None], xi0[None], jnp.zeros((1, H, 6), jnp.float64),
-               q_ref=q_ref, xi_ref=xi_ref, n_al_iters=15)
+               q_ref=q_ref, xi_ref=xi_ref, n_al_iters=20)
 us = np.asarray(res.us[0], np.float64)
 meta = dict(H=H, J=float(res.J_opt[0]),
             max_violation=float(res.max_violation[0]),

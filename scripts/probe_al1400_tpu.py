@@ -1,0 +1,100 @@
+"""TPU record: the reference's N=1400 AL-constrained SE(3) problem.
+
+Round-3 VERDICT item 2b: solve `main_SE3ddp_tracking_exact_al_ms.py`'s
+N=1400 workload (tasks/al_bench.build_al1400 — screw reference, R = 0,
+input box +-10) on the constrained Pallas pipeline (ALPipelineSolver
+around the f32 lane-layout kernels), lane 0 gated against the committed
+f64 CPU golden (tasks/golden/al1400_us.npy, scripts/gen_al1400_golden.py;
+the converged optimum is interior — us in [-0.93, 3.69] — so the AL
+machinery must settle on the unconstrained optimum through the box
+machinery, as the reference run does).
+
+Env: B (512), ITERS (16), N_AL (3), CHUNK (4; 1400 = 4 * 350).
+Record: bench_records name=ref_scale_al1400.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/traopt_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import jax.numpy as jnp
+
+import bench
+from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_pipeline import (
+    ALPipelineSolver,
+)
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
+    PallasPipelineSolver,
+)
+from trajectory_optimization_matrix_lie_groups_tpu.tasks.al_bench import (
+    build_al1400,
+)
+from trajectory_optimization_matrix_lie_groups_tpu.utils.records import record
+
+B = int(os.environ.get("B", "512"))
+ITERS = int(os.environ.get("ITERS", "16"))
+N_AL = int(os.environ.get("N_AL", "3"))
+CHUNK = int(os.environ.get("CHUNK", "4"))
+H = 1400
+
+params, lb, ub, q0, xi0, q_ref, xi_ref = build_al1400(jnp.float32, H)
+dp, cp = params["dyn"], params["cost"]
+us_ref = np.load(os.path.join(bench.GOLDEN_DIR, "al1400_us.npy"))
+
+pipe = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                            batch_tile=min(256, B), stage_chunk=CHUNK)
+al = ALPipelineSolver(pipe, lb=np.full(6, lb), ub=np.full(6, ub))
+
+
+def mk(seed):
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(seed), (B, 6),
+                                  jnp.float32)
+    q = SE3.normalize(q0[None] @ SE3.exp(dq)).at[0].set(q0)
+    return jax.device_put(q)
+
+
+xi0s = jax.device_put(jnp.broadcast_to(xi0, (B, 6)))
+us0 = jax.device_put(jnp.zeros((B, H, 6), jnp.float32))
+batches = [mk(s) for s in range(4)]
+jax.block_until_ready((batches, xi0s, us0))
+
+t0 = time.perf_counter()
+res = al.solve(dp, cp, batches[0], xi0s, us0, n_al_iters=N_AL)
+_ = np.asarray(res.us[:, 0, :])
+t_compile = time.perf_counter() - t0
+# priming rep, then best-of-2 timed with distinct batches
+res = al.solve(dp, cp, batches[1], xi0s, us0, n_al_iters=N_AL)
+_ = np.asarray(res.us[:, 0, :])
+t_best = np.inf
+for s in (2, 3):
+    t0 = time.perf_counter()
+    res = al.solve(dp, cp, batches[s], xi0s, us0, n_al_iters=N_AL)
+    _ = np.asarray(res.us[:, 0, :])
+    t_best = min(t_best, time.perf_counter() - t0)
+
+mv = np.asarray(res.max_violation)
+err = float(np.max(np.abs(np.asarray(res.us[0], np.float64) - us_ref)))
+result = dict(
+    backend=jax.default_backend(), N=H, B=B, chunk=CHUNK,
+    f32_iters=ITERS, n_al=N_AL,
+    t_compile_s=round(t_compile, 1),
+    t_solve_best_s=round(t_best, 3),
+    solves_per_s=round(B / t_best, 1),
+    lanes_converged_frac=round(float((mv < 1e-2).mean()), 4),
+    lane0_us_max_err_vs_golden=err,
+    u_range=[round(float(res.us.min()), 2), round(float(res.us.max()), 2)],
+)
+print(json.dumps(result))
+record("ref_scale_al1400", result)

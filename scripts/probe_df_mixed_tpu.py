@@ -41,6 +41,7 @@ from trajectory_optimization_matrix_lie_groups_tpu.utils.records import record
 
 B = int(os.environ.get("B", "8192"))
 DF_ITERS = int(os.environ.get("DF_ITERS", "2"))
+F32_ITERS = int(os.environ.get("F32_ITERS", str(bench.ITERS)))
 FULL_DF = os.environ.get("FULL_DF") == "1"
 
 prob = bench.load_benchmark_pickle(bench.PKL)["prob"]
@@ -51,7 +52,7 @@ us_golden = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_us.npy"))
 
 cls = DFPipelineSolver if FULL_DF else MixedDFPipelineSolver
 dfp = cls(N=bench.HORIZON, dt=float(prob["dt"]),
-          f32_iterations=bench.ITERS, df_iterations=DF_ITERS,
+          f32_iterations=F32_ITERS, df_iterations=DF_ITERS,
           batch_tile=min(bench.BATCH_TILE, B),
           stage_chunk=bench.STAGE_CHUNK)
 sp = split_pytree(params64)
@@ -108,9 +109,10 @@ finally:
 
 us = join_us(out)
 err = float(np.max(np.abs(us[0] - us_golden)))
-f32_iter_s = t_f32 / bench.ITERS
+f32_iter_s = t_f32 / F32_ITERS
 result = dict(
     backend=jax.default_backend(), B=B, df_iters=DF_ITERS,
+    f32_iters=F32_ITERS,
     solver=cls.__name__,
     fx_mode=getattr(dfp, "fx_mode", None),
     kernel_polish=getattr(dfp, "kernel_polish", None),

@@ -129,6 +129,36 @@ def test_stage_cost_quad_mx_matches_full_df():
                                rtol=2e-5, atol=1e-5)
 
 
+def test_small_angle_log_and_newton_renorm():
+    """The polish-rollout specializations: `so3_log_small`/`se3_log_small`
+    match the f64 closed forms to DF grade inside the documented envelope
+    (|theta| <= ~0.35), and one polar-Newton step restores orthogonality
+    quadratically for a near-orthogonal DF rotation."""
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3
+
+    B = 48
+    w = RNG.uniform(-1, 1, (B, 3))
+    w *= (RNG.uniform(1e-6, 0.34, (B, 1))
+          / np.maximum(np.linalg.norm(w, axis=-1, keepdims=True), 1e-12))
+    v = RNG.uniform(-2, 2, (B, 3))
+    xi = np.concatenate([w, v], axis=-1)
+    q64 = np.asarray(se3.exp(jnp.asarray(xi, jnp.float64)))
+    R = _df_of(np.moveaxis(q64[:, :3, :3], 0, -1).copy())
+    p = _df_of(q64[:, :3, 3].T.copy())
+    back = pll.se3_log_small(R, p)
+    np.testing.assert_allclose(_join(back), xi.T, atol=5e-13)
+
+    # Newton renormalization: perturb orthogonality by ~1e-7, expect
+    # orthogonality restored to ~1e-14 (error squares)
+    Rp = _df_of(np.moveaxis(q64[:, :3, :3]
+                            + 1e-7 * RNG.normal(size=(B, 3, 3)), 0, -1))
+    Rn = pll.so3_normalize_newton(Rp)
+    Rn64 = np.moveaxis(_join(Rn), -1, 0)
+    ortho = np.abs(np.einsum("bij,bkj->bik", Rn64, Rn64)
+                   - np.eye(3)[None]).max()
+    assert ortho < 5e-13, ortho
+
+
 @pytest.mark.parity
 def test_df_mixed_hits_f64_fixed_point():
     """f32 phase + mixed-precision polish lands inside the 1e-4 gate vs the

@@ -65,6 +65,7 @@ __all__ = [
     "where", "sqrt", "maximum", "minimum", "concatenate", "swapaxes",
     "zeros", "zeros_like", "sincos", "poly", "opaque",
     "SINC", "COSSER", "COSC", "SINC3", "COSC4", "C3SER", "JINVK",
+    "ASINC", "barrier_disabled",
 ]
 
 _SPLIT = np.float32(4097.0)  # 2^12 + 1: Dekker split constant for f32
@@ -405,10 +406,22 @@ _B = _bernoulli(2 * _NB + 2)
 JINVK = _df_coeffs([
     Fraction((-1) ** j) * _B[2 * j + 2] / _fact(2 * j + 2)
     for j in range(_NB)])
+# asin(s)/s = sum_k (2k)! / (4^k (k!)^2 (2k+1)) s^{2k}   (radius s^2 = 1);
+# used by the small-angle so3_log (pallas_lie.so3_log_small): theta/sin
+# theta recovered from s = |vee((R - R^T)/2)| without quaternions/atan2.
+# 12 terms: truncation < 1e-15 for s^2 <= 0.12 (|theta| <= ~0.36)
+ASINC = _df_coeffs([
+    Fraction(_fact(2 * k), (4 ** k) * _fact(k) ** 2 * (2 * k + 1))
+    for k in range(12)])
 
 
-def poly(x, coeffs):
+def poly(x, coeffs, terms=None):
     """Estrin evaluation of a DF-coefficient series at DF x.
+
+    ``terms``: evaluate only the first ``terms`` coefficients — for
+    callers whose argument range is PROVABLY small (e.g. the polish
+    rollout's per-step rotations, |theta| <= ~0.35), where the full-range
+    truncation length only wastes ops.  The caller owns the envelope.
 
     Horner's rule chains terms serially (depth ~ n ops); on both the TPU
     VPU (no ILP across a serial chain) and in XLA's compile-time passes
@@ -431,6 +444,8 @@ def poly(x, coeffs):
     # runtime arrays are preserved by XLA (verified in test_dfx).
     from jax import lax as _lax
 
+    if terms is not None:
+        coeffs = coeffs[:terms]
     terms = []
     for c in coeffs:
         cp = promote(c)

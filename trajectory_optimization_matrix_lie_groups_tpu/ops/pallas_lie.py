@@ -91,13 +91,14 @@ def hat(w):
 
 # -- SO(3) -------------------------------------------------------------------
 
-def so3_exp(w):
-    """(3,B) -> (3,3,B) Rodrigues with Taylor guards."""
+def so3_exp(w, terms=None):
+    """(3,B) -> (3,3,B) Rodrigues with Taylor guards.  ``terms`` truncates
+    the DF series for provably-small angles (dfx.poly docstring)."""
     th_sq = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
     if dfx.is_df(w):
         # branchless full-range series in x = th^2 (no cancellation)
-        a = dfx.poly(th_sq, dfx.SINC)
-        b = dfx.poly(th_sq, dfx.COSC)
+        a = dfx.poly(th_sq, dfx.SINC, terms=terms)
+        b = dfx.poly(th_sq, dfx.COSC, terms=terms)
     else:
         small = th_sq < _EPS
         th = jnp.sqrt(jnp.where(small, 1.0, th_sq))
@@ -217,9 +218,57 @@ def so3_normalize(R):
     return matrix_from_quat(quat_from_matrix(R))
 
 
-def _jl_coeffs(th_sq):
+def so3_normalize_newton(R):
+    """One Newton step toward the polar factor: R (3I - R^T R)/2.
+
+    For R within delta of orthogonal, the result is within O(delta^2) —
+    the right renormalizer for the polish phase, whose rotations are
+    already orthogonal to the previous iteration's DF grade (the full
+    quaternion round-trip costs ~8x more DF ops; used by the polish
+    rollout kernel whose body must stay under the remote compiler's
+    primitive ceiling).  DF-polymorphic."""
+    RtR = matmul3(transpose(R), R)
+    eye = _eye3(R.dtype, R.shape[-1])
+    if dfx.is_df(R):
+        eye = dfx.opaque(eye)
+    return 0.5 * matmul3(R, 3.0 * eye - RtR)
+
+
+def so3_log_small(R, terms=10):
+    """(3,3,B) -> (3,B) for NEAR-IDENTITY rotations: |theta| <= ~0.36 at
+    DF grade (series `dfx.ASINC` radius; graceful degradation beyond).
+
+    w = vee((R - R^T)/2) * (asin(s)/s)(s^2),  s = sin(theta) —
+    quaternion-free and atan2-free, so the DF body is ~3x smaller than
+    `so3_log`.  The polish-phase defect/deviation rotations are <= ~1e-2
+    rad (tests/test_df_mixed.py gates end accuracy), far inside the
+    envelope; do NOT use for cost-error logs (full range)."""
+    a = _vec([0.5 * (R[2, 1] - R[1, 2]),
+              0.5 * (R[0, 2] - R[2, 0]),
+              0.5 * (R[1, 0] - R[0, 1])])
+    s2 = a[0] * a[0] + a[1] * a[1] + a[2] * a[2]
+    if dfx.is_df(R):
+        f = dfx.poly(s2, dfx.ASINC, terms=terms)
+    else:
+        small = s2 < _EPS
+        s2s = jnp.where(small, 0.0, s2)
+        s = jnp.sqrt(s2s)
+        th = jnp.arcsin(jnp.minimum(s, 1.0))
+        f = jnp.where(small, 1.0 + s2 / 6.0, th / jnp.where(small, 1.0, s))
+    return _vec([f * a[0], f * a[1], f * a[2]])
+
+
+def se3_log_small(R, p, terms=10):
+    """Small-angle `se3_log` twin (see `so3_log_small`)."""
+    w = so3_log_small(R, terms=terms)
+    v = matvec3(so3_left_jacobian_inv(w, terms=terms), p)
+    return dfx.concatenate([w, v], axis=0)
+
+
+def _jl_coeffs(th_sq, terms=None):
     if dfx.is_df(th_sq):
-        return dfx.poly(th_sq, dfx.COSC), dfx.poly(th_sq, dfx.SINC3)
+        return (dfx.poly(th_sq, dfx.COSC, terms=terms),
+                dfx.poly(th_sq, dfx.SINC3, terms=terms))
     small = th_sq < _EPS
     th_sq_safe = jnp.where(small, 1.0, th_sq)
     th = jnp.sqrt(th_sq_safe)
@@ -229,9 +278,9 @@ def _jl_coeffs(th_sq):
     return b, c
 
 
-def so3_left_jacobian(w):
+def so3_left_jacobian(w, terms=None):
     th_sq = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
-    b, c = _jl_coeffs(th_sq)
+    b, c = _jl_coeffs(th_sq, terms=terms)
     W = hat(w)
     W2 = matmul3(W, W)
     eye = _eye3(w.dtype, w.shape[-1])
@@ -240,11 +289,12 @@ def so3_left_jacobian(w):
     return eye + b[None, None, :] * W + c[None, None, :] * W2
 
 
-def so3_left_jacobian_inv(w):
+def so3_left_jacobian_inv(w, terms=None):
     th_sq = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
     if dfx.is_df(w):
         # Bernoulli series of 1/th^2 - cos(th/2)/(2 th sin(th/2)) in th^2
-        k = dfx.poly(th_sq, dfx.JINVK)
+        # (terms: 6 suffice for |theta| <= ~0.4 — radius (2 pi)^2)
+        k = dfx.poly(th_sq, dfx.JINVK, terms=terms)
     else:
         small = th_sq < _EPS
         th_sq_safe = jnp.where(small, 1.0, th_sq)
@@ -262,12 +312,12 @@ def so3_left_jacobian_inv(w):
 
 # -- SE(3) (R (3,3,B), p (3,B)) ---------------------------------------------
 
-def se3_exp(xi):
+def se3_exp(xi, terms=None):
     """(6,B) twist [w, v] -> (R, p)."""
     w = xi[:3]
     v = xi[3:]
-    R = so3_exp(w)
-    p = matvec3(so3_left_jacobian(w), v)
+    R = so3_exp(w, terms=terms)
+    p = matvec3(so3_left_jacobian(w, terms=terms), v)
     return R, p
 
 

@@ -37,14 +37,18 @@ def _cross(a, b):
     ])
 
 
-def stage_dynamics_eval(R, p, xi, u, Jl, Jil, Pu, mg, *, dt, gravity):
+def stage_dynamics_eval(R, p, xi, u, Jl, Jil, Pu, mg, *, dt, gravity,
+                        terms=None, renorm=None):
     """Semi-implicit Euler step in lane layout (models/dynamics.py:196,287):
     fq = normalize(q Exp(xi dt)); fxi = xi + dt Jinv (coad(xi) J xi
     [+ m g R^T down] + Pu u).  Shared by the linearize, rollout, and fused
-    rollout+linearize kernels."""
-    Re, pe = pll.se3_exp(xi * dt)
+    rollout+linearize kernels.  ``terms``/``renorm``: DF series truncation
+    and renormalizer override for the polish rollout (whose per-step
+    rotation |xi| dt is small and whose kernel body must stay under the
+    remote compiler's primitive ceiling; defaults unchanged)."""
+    Re, pe = pll.se3_exp(xi * dt, terms=terms)
     fqR, fqp = pll.se3_compose(R, p, Re, pe)
-    fqR = pll.so3_normalize(fqR)
+    fqR = (renorm or pll.so3_normalize)(fqR)
     Jxi = pll.matvec(Jl, xi, 6)
     w, v = xi[:3], xi[3:]
     nu = u.shape[0]

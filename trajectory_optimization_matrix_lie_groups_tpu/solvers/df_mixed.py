@@ -220,11 +220,22 @@ def rollout_stage_mx(R_new, p_new, xi_new, qR_t, qp_t, qRn_t, qpn_t, xi_t,
     evaluation in DF; the feedback product K @ xs_err in f32 (its error is
     multiplied by xs_err -> 0).  Math per solvers.pipeline.rollout_stage /
     the reference MS forward pass (traopt_controller.py:2697-2726).
+
+    Polish-phase specializations (all DF-grade inside their envelopes,
+    which the phase guarantees — the f32 phase has already converged the
+    trajectory to ~1e-3): the deviation/defect rotations are near-identity
+    so xs_err uses the quaternion-free small-angle log and Exp(d) a
+    short series; renormalization is one polar-Newton step (the carry is
+    already orthogonal to the previous step's DF grade); the dynamics
+    exp series truncates at 12 terms (full |theta| <= pi accuracy
+    regardless — factorial decay).  These cuts take the kernel body from
+    26.5k to under the remote compiler's ~20k primitive ceiling.
     Returns (R_nn, p_nn, xi_nn, u_new, fqR_n, fqp_n, fxi_new) — all DF."""
     Ri_inv, pi_inv = pll.se3_inverse(qR_t, qp_t)
     Re, pe = pll.se3_compose(Ri_inv, pi_inv, R_new, p_new)
     xs_err = dfx.concatenate(
-        [pll.se3_log(Re, pe), xi_new - xi_t], axis=0)
+        [pll.se3_log_small(Re, pe) if dfx.is_df(Re)
+         else pll.se3_log(Re, pe), xi_new - xi_t], axis=0)
 
     fb32 = k32_t + sum(K32_t[:, j, :] * xs_err.hi[j:j + 1, :]
                        for j in range(NX))
@@ -232,14 +243,16 @@ def rollout_stage_mx(R_new, p_new, xi_new, qR_t, qp_t, qRn_t, qpn_t, xi_t,
 
     fqR_n, fqp_n, fxi_new = stage_dynamics_eval(
         R_new, p_new, xi_new, u_new, Jl, Jil, Pu, mg,
-        dt=dt, gravity=gravity)
+        dt=dt, gravity=gravity, terms=12,
+        renorm=pll.so3_normalize_newton if dfx.is_df(R_new) else None)
 
-    edR, edp = pll.se3_exp(d_t[:6])
+    edR, edp = pll.se3_exp(d_t[:6], terms=8)
     fiR, fip = pll.se3_inverse(fqR_t, fqp_t)
     R_a, p_a = pll.se3_compose(qRn_t, qpn_t, edR, edp)
     R_b, p_b = pll.se3_compose(R_a, p_a, fiR, fip)
     R_nn, p_nn = pll.se3_compose(R_b, p_b, fqR_n, fqp_n)
-    R_nn = pll.so3_normalize(R_nn)
+    R_nn = (pll.so3_normalize_newton(R_nn) if dfx.is_df(R_nn)
+            else pll.so3_normalize(R_nn))
     xi_nn = xin_t + fxi_new - fxi_t + d_t[6:]
     return R_nn, p_nn, xi_nn, u_new, fqR_n, fqp_n, fxi_new
 
@@ -354,6 +367,70 @@ def _cost_quad_kernel_mx(qRH, qRL, qpH, qpL, xiH, xiL,
         lxLo[t] = lx.lo
         lxx32o[t] = lxx32
         l32o[t] = l32[None]
+
+
+@_nobar
+def _rollout_kernel_mx(qRH, qRL, qpH, qpL, qRnH, qRnL, qpnH, qpnL,
+                       xiH, xiL, xinH, xinL, uH, uL, dH, dL,
+                       fqRH, fqRL, fqpH, fqpL, fxiH, fxiL, k32, K32,
+                       JlH, JlL, JilH, JilL, PuH, PuL, mgH, mgL,
+                       oRH, oRL, opH, opL, oxiH, oxiL, ouH, ouL,
+                       eRH, eRL, epH, epL, exiH, exiL,
+                       RH_s, RL_s, pH_s, pL_s, xH_s, xL_s, *, dt, gravity,
+                       chunk):
+    """Pallas twin of `_rollout_mx`'s scan: the mixed gap-closing rollout
+    with the DF pose/twist carry in six f32 VMEM scratch planes; emits the
+    new trajectory AND the per-stage dynamics evaluations consumed by the
+    fused linearize-tail kernels.  Body ~13k primitives (small-angle
+    xs_err log, short-series Exp, polar-Newton renorm — see
+    `rollout_stage_mx`)."""
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        RH_s[:] = qRH[0]
+        RL_s[:] = qRL[0]
+        pH_s[:] = qpH[0]
+        pL_s[:] = qpL[0]
+        xH_s[:] = xiH[0]
+        xL_s[:] = xiL[0]
+
+    Jl = dfx.DF(JlH[:], JlL[:])
+    Jil = dfx.DF(JilH[:], JilL[:])
+    Pu = dfx.DF(PuH[:], PuL[:])
+    mg = dfx.DF(mgH[:], mgL[:])
+    R_new = dfx.DF(RH_s[:], RL_s[:])
+    p_new = dfx.DF(pH_s[:], pL_s[:])
+    xi_new = dfx.DF(xH_s[:], xL_s[:])
+    for t in range(chunk):
+        R_nn, p_nn, xi_nn, u_new, fqR_n, fqp_n, fxi_n = rollout_stage_mx(
+            R_new, p_new, xi_new,
+            dfx.DF(qRH[t], qRL[t]), dfx.DF(qpH[t], qpL[t]),
+            dfx.DF(qRnH[t], qRnL[t]), dfx.DF(qpnH[t], qpnL[t]),
+            dfx.DF(xiH[t], xiL[t]), dfx.DF(xinH[t], xinL[t]),
+            dfx.DF(uH[t], uL[t]), k32[t], K32[t], dfx.DF(dH[t], dL[t]),
+            dfx.DF(fqRH[t], fqRL[t]), dfx.DF(fqpH[t], fqpL[t]),
+            dfx.DF(fxiH[t], fxiL[t]), Jl, Jil, Pu, mg,
+            dt=dt, gravity=gravity)
+        oRH[t] = R_nn.hi
+        oRL[t] = R_nn.lo
+        opH[t] = p_nn.hi
+        opL[t] = p_nn.lo
+        oxiH[t] = xi_nn.hi
+        oxiL[t] = xi_nn.lo
+        ouH[t] = u_new.hi
+        ouL[t] = u_new.lo
+        eRH[t] = fqR_n.hi
+        eRL[t] = fqR_n.lo
+        epH[t] = fqp_n.hi
+        epL[t] = fqp_n.lo
+        exiH[t] = fxi_n.hi
+        exiL[t] = fxi_n.lo
+        R_new, p_new, xi_new = R_nn, p_nn, xi_nn
+    RH_s[:] = R_new.hi
+    RL_s[:] = R_new.lo
+    pH_s[:] = p_new.hi
+    pL_s[:] = p_new.lo
+    xH_s[:] = xi_new.hi
+    xL_s[:] = xi_new.lo
 
 
 class MixedDFPipelineSolver(DFPipelineSolver):
@@ -677,7 +754,74 @@ class MixedDFPipelineSolver(DFPipelineSolver):
 
     # -- mixed rollout (emits the dynamics evals for the fused linearize) ---
 
+    def _rollout_mx_k(self, qR, qp, xi, us, k32, K32, lin, consts_df):
+        """Pallas twin of `_rollout_mx` (kernel `_rollout_kernel_mx`)."""
+        N = self.N
+        B = us.hi.shape[-1]
+        nu = us.hi.shape[-2]
+        dtp = jnp.float32
+        nb, bt = self.base._tiles(B)
+        ck = 1  # 13k-primitive body; chunk>1 would pass the compiler ceiling
+
+        def spec(a):
+            r = len(a.shape)
+            return pl.BlockSpec((ck,) + a.shape[1:-1] + (bt,),
+                                lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
+
+        def cspec(a):
+            r = len(a.shape)
+            return pl.BlockSpec(a.shape[:-1] + (bt,),
+                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+
+        sl0 = lambda d: _map_df(lambda x: x[:-1], d)
+        sl1 = lambda d: _map_df(lambda x: x[1:], d)
+        ins = [sl0(qR).hi, sl0(qR).lo, sl0(qp).hi, sl0(qp).lo,
+               sl1(qR).hi, sl1(qR).lo, sl1(qp).hi, sl1(qp).lo,
+               sl0(xi).hi, sl0(xi).lo, sl1(xi).hi, sl1(xi).lo,
+               us.hi, us.lo, lin["d"].hi, lin["d"].lo,
+               lin["fqR"].hi, lin["fqR"].lo, lin["fqp"].hi, lin["fqp"].lo,
+               lin["fxi"].hi, lin["fxi"].lo, k32, K32]
+        consts_in = [consts_df["Jl"].hi, consts_df["Jl"].lo,
+                     consts_df["Jil"].hi, consts_df["Jil"].lo,
+                     consts_df["Pu"].hi, consts_df["Pu"].lo,
+                     consts_df["mg"].hi, consts_df["mg"].lo]
+        sh = lambda *s: jax.ShapeDtypeStruct((N,) + s + (B,), dtp)
+        out_shapes = (sh(3, 3), sh(3, 3), sh(3), sh(3), sh(6), sh(6),
+                      sh(nu), sh(nu),
+                      sh(3, 3), sh(3, 3), sh(3), sh(3), sh(6), sh(6))
+        out_specs = tuple(spec(s) for s in out_shapes)
+        kernel = functools.partial(_rollout_kernel_mx, dt=self.dt,
+                                   gravity=self.gravity, chunk=ck,
+                                   nobar=not self.base.interpret)
+        outs = pl.pallas_call(
+            kernel, grid=(nb, N // ck), out_shape=out_shapes,
+            in_specs=[spec(a) for a in ins] + [cspec(a) for a in consts_in],
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((3, 3, bt), dtp),
+                            pltpu.VMEM((3, 3, bt), dtp),
+                            pltpu.VMEM((3, bt), dtp),
+                            pltpu.VMEM((3, bt), dtp),
+                            pltpu.VMEM((6, bt), dtp),
+                            pltpu.VMEM((6, bt), dtp)],
+            interpret=self.base.interpret,
+            compiler_params=None if self.base.interpret else _DIMSEM,
+        )(*ins, *consts_in)
+        (oRH, oRL, opH, opL, oxiH, oxiL, ouH, ouL,
+         eRH, eRL, epH, epL, exiH, exiL) = outs
+        first = lambda d: _map_df(lambda x: x[:1], d)
+        app = lambda a, b: dfx.DF(
+            jnp.concatenate([a.hi, b.hi], axis=0),
+            jnp.concatenate([a.lo, b.lo], axis=0))
+        qR_new = app(first(qR), dfx.DF(oRH, oRL))
+        qp_new = app(first(qp), dfx.DF(opH, opL))
+        xi_new = app(first(xi), dfx.DF(oxiH, oxiL))
+        evals = (dfx.DF(eRH, eRL), dfx.DF(epH, epL), dfx.DF(exiH, exiL))
+        return qR_new, qp_new, xi_new, dfx.DF(ouH, ouL), evals
+
     def _rollout_mx(self, qR, qp, xi, us, k32, K32, lin, consts_df):
+        if self.kernel_polish:
+            return self._rollout_mx_k(qR, qp, xi, us, k32, K32, lin,
+                                      consts_df)
         Jl, Jil = consts_df["Jl"], consts_df["Jil"]
         Pu, mg = consts_df["Pu"], consts_df["mg"]
 
