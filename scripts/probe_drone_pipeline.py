@@ -40,7 +40,8 @@ cp, dp = params["cost"], params["dyn"]
 N = cp.q_ref.shape[0] - 1
 ITERS = int(os.environ.get("ITERS", "12"))
 print(json.dumps({"N": N, "iters": ITERS}), flush=True)
-us_ref = np.asarray(data["us"][-1]) if "us" in data else None
+us_ref = (np.asarray(data["ms_se3"]["us"])
+          if "ms_se3" in data else None)  # the converged MS solution
 
 results = []
 for B, tile in [(2048, 512), (4096, 512)]:

@@ -135,7 +135,11 @@ def test_horizon_sharded_parallel_riccati():
     assert k1.sharding.is_equivalent_to(tshard, ndim=2)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
+    """The driver's own MULTICHIP artifact runs this same program every
+    round; slow-tier (60 s of XLA:CPU compile) per the <=4.5 min default-
+    suite budget."""
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)

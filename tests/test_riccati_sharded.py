@@ -37,12 +37,15 @@ def _mesh(n=8):
     return Mesh(np.asarray(jax.devices()[:n]), ("time",))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("N", [13])
 def test_sharded_matches_single_device(N):
     """N+1 elements across a 2-device mesh (non-divisible horizon
     exercises the identity-element padding) must reproduce the one-device
-    sweep.  Small mesh keeps the unrolled cross-block fold's compile cheap
-    for the default tier; the 8-device + larger-N variants run in the
+    sweep.  Slow tier since round 4 (~54 s of XLA:CPU compile; the
+    production wiring stays default-covered by
+    test_lie_ilqr_backward_associative_sharded); the 8-device + larger-N
+    variants also run in the
     `slow` tier."""
     prob = _random_ltv(N, n=4, m=2, seed=N)
     k1, K1, Vx1, Vxx1 = riccati.parallel_backward(*prob, mu=0.1)
