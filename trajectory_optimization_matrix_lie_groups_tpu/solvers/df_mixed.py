@@ -544,9 +544,10 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         out["l32"] = self._unfold(l32[None], B)[:, 0]
         return out
 
-    def _linearize_mx(self, qR, qp, xi, us, refs, consts_df, consts32):
-        """Initial mixed linearization (no saved rollout evals): one
-        lane-folded DF dynamics evaluation + the fused tail."""
+    def _dyn_evals_mx(self, qR, qp, xi, us, consts_df):
+        """Lane-folded DF dynamics evaluations of a trajectory — the only
+        piece of a full linearization the rotated polish loop needs at
+        entry (every later iteration reuses the rollout's evals)."""
         B = us.hi.shape[-1]
         fold, tile = self._fold, (lambda d: self._tile(d, B))
         R = fold(_map_df(lambda x: x[:-1], qR))
@@ -557,9 +558,50 @@ class MixedDFPipelineSolver(DFPipelineSolver):
             R, p, xis, u, tile(consts_df["Jl"]), tile(consts_df["Jil"]),
             tile(consts_df["Pu"]), tile(consts_df["mg"]),
             dt=self.dt, gravity=self.gravity)
-        evals = tuple(self._unfold(e, B) for e in (fqR, fqp, fxi))
+        return tuple(self._unfold(e, B) for e in (fqR, fqp, fxi))
+
+    def _linearize_mx(self, qR, qp, xi, us, refs, consts_df, consts32):
+        """Initial mixed linearization (no saved rollout evals): one
+        lane-folded DF dynamics evaluation + the fused tail."""
+        evals = self._dyn_evals_mx(qR, qp, xi, us, consts_df)
         return self._linearize_tail_mx(qR, qp, xi, evals, refs, consts_df,
                                        consts32)
+
+    def _cost_value32(self, qR, qp, xi, us, refs, term_tail, R32, consts32):
+        """f32 cost of a lane-layout DF iterate: GN tracking stage values
+        + control quad + terminal, from the hi parts (J is a diagnostic;
+        the polish's accuracy gate is on the controls).  ~0.5% of an
+        iteration's FLOPs — replaces the trailing metrics backward
+        (round-4 loop rotation, see _solve_df)."""
+        B = us.hi.shape[-1]
+        N = self.N
+        fold = self._fold
+        hi_cut = lambda d, s: fold(_map_df(lambda x: x[s], d)).hi
+        R = hi_cut(qR, slice(None, -1))
+        p = hi_cut(qp, slice(None, -1))
+        xis = hi_cut(xi, slice(None, -1))
+        tile32 = lambda M: self._tile(M, B)
+        Reb, peb = pll.se3_compose(R, p, fold(refs["RbiR"].hi),
+                                   fold(refs["Rbip"].hi))
+        e = pll.se3_log(Reb, peb)
+        ev = xis - fold(refs["xib"].hi)
+        W1e = pll.matvec(tile32(consts32["W1"]), e, 6)
+        W2ev = pll.matvec(tile32(consts32["W2"]), ev, 6)
+        l = (sum(e[i] * W1e[i] for i in range(6))
+             + sum(ev[i] * W2ev[i] for i in range(6)))
+        lsum = jnp.sum(l.reshape(N, B), axis=0)
+        # terminal
+        lasth = lambda d: _map_df(lambda x: x[-1], d).hi
+        RbiRN, RbipN, AdbN, xibN, P1d, P2d = term_tail
+        ReN, peN = pll.se3_compose(lasth(qR), lasth(qp), RbiRN.hi, RbipN.hi)
+        eN = pll.se3_log(ReN, peN)
+        evN = lasth(xi) - xibN.hi
+        P1eN = pll.matvec(P1d.hi, eN, 6)
+        P2evN = pll.matvec(P2d.hi, evN, 6)
+        lN = (sum(eN[i] * P1eN[i] for i in range(6))
+              + sum(evN[i] * P2evN[i] for i in range(6)))
+        us_j = us.hi + us.lo
+        return (lsum + jnp.einsum("nib,ij,njb->b", us_j, R32, us_j) + lN)
 
     # -- mixed backward -----------------------------------------------------
 
@@ -860,8 +902,18 @@ class MixedDFPipelineSolver(DFPipelineSolver):
 
     def _solve_df(self, sp, qR, qp, xi, us):
         """Phase 2 (mixed): overrides the full-DF polish driver; same
-        contract, the iteration body is backward_mx -> rollout_mx ->
-        fused linearize_tail_mx."""
+        contract.  The loop is ROTATED — each iteration linearizes at its
+        own iterate (reusing the previous rollout's dynamics evals, or a
+        bare dynamics pass for the handoff trajectory), then backward,
+        then rollout — so there is no trailing linearization or metrics
+        backward.  Round-4: those trailing passes were ~75% of an extra
+        iteration (records name=df_mixed_tpu: 0.39 s at df_iters=1 vs
+        0.30 s/iteration marginal).  J_opt is an f32 cost pass at the
+        RETURNED iterate; grad_norm is the gradient at the final
+        backward's evaluation point — the iterate the last update stepped
+        from, one polish step stale (the reference's on_iteration grad
+        report has the same before-the-update semantics,
+        traopt_controller.py on_iteration)."""
         B = qR.shape[-1]
         N = self.N
         dtp = jnp.float32
@@ -877,6 +929,7 @@ class MixedDFPipelineSolver(DFPipelineSolver):
             W1=lanes(cost.Q1[0]), Fu=consts_df["Fu"].hi,
             Luu=lanes(2.0 * R32), P1=lanes(cost.P1[0]),
             Jl=lanes(dyn.J[0]), Jil=lanes(dyn.Jinv[0]), mg=mg32,
+            W2=lanes(cost.Q2[0]),
         )
         term_mx = term_tail + (consts32["P1"],)
 
@@ -893,47 +946,41 @@ class MixedDFPipelineSolver(DFPipelineSolver):
 
         last = lambda d: _map_df(lambda x: x[-1], d)
 
-        def pack_lin(lin):
-            return {k: (_pair(v) if dfx.is_df(v) else v)
-                    for k, v in lin.items()}
-
-        def unpack_lin(lp):
-            return {k: (_df(v) if isinstance(v, tuple) else v)
-                    for k, v in lp.items()}
-
-        def df_body(_, carry):
-            qRd, qpd, xid, usd = (_df(c) for c in carry[:4])
-            lin = unpack_lin(carry[4])
+        if self.df_iterations == 0:
+            # no polish: metrics at the promoted handoff iterate
+            lin = self._linearize_mx(qRd, qpd, xid, usd, refs_df, consts_df,
+                                     consts32)
             lu = lu_glue(usd)
             term = (last(qRd), last(qpd), last(xid)) + term_mx
-            k32, K32, _, _ = self._backward_mx(lin, lu, term, consts_df,
-                                               consts32)
-            qRd, qpd, xid, usd, evals = self._rollout_mx(
-                qRd, qpd, xid, usd, k32, K32, lin, consts_df)
-            lin = self._linearize_tail_mx(qRd, qpd, xid, evals, refs_df,
-                                          consts_df, consts32)
-            return (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
-                    pack_lin(lin))
+            _, _, gvec, _ = self._backward_mx(lin, lu, term, consts_df,
+                                              consts32)
+        else:
+            def df_body(_, carry):
+                qRd, qpd, xid, usd = (_df(c) for c in carry[:4])
+                evals = tuple(_df(e) for e in carry[4])
+                lin = self._linearize_tail_mx(qRd, qpd, xid, evals, refs_df,
+                                              consts_df, consts32)
+                lu = lu_glue(usd)
+                term = (last(qRd), last(qpd), last(xid)) + term_mx
+                k32, K32, gvec, _ = self._backward_mx(lin, lu, term,
+                                                      consts_df, consts32)
+                qRd, qpd, xid, usd, evals = self._rollout_mx(
+                    qRd, qpd, xid, usd, k32, K32, lin, consts_df)
+                return (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
+                        tuple(_pair(e) for e in evals), _pair(gvec))
 
-        lin0 = self._linearize_mx(qRd, qpd, xid, usd, refs_df, consts_df,
-                                  consts32)
-        carry = (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
-                 pack_lin(lin0))
-        carry = lax.fori_loop(0, self.df_iterations, df_body, carry)
-        qRd, qpd, xid, usd = (_df(c) for c in carry[:4])
-        lin_d = unpack_lin(carry[4])
+            evals0 = self._dyn_evals_mx(qRd, qpd, xid, usd, consts_df)
+            gvec0 = dfx.promote(jnp.zeros((N, nu, B), dtp))
+            carry = (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
+                     tuple(_pair(e) for e in evals0), _pair(gvec0))
+            carry = lax.fori_loop(0, self.df_iterations, df_body, carry)
+            qRd, qpd, xid, usd = (_df(c) for c in carry[:4])
+            gvec = _df(carry[5])
 
-        # final metrics: one more mixed backward at the final iterate
-        lu = lu_glue(usd)
-        term = (last(qRd), last(qpd), last(xid)) + term_mx
-        _, _, gvec, lN32 = self._backward_mx(lin_d, lu, term, consts_df,
-                                             consts32)
         gsum = gvec.hi + gvec.lo
         g = jnp.mean(jnp.sqrt(jnp.sum(gsum * gsum, axis=1)), axis=0)
-        us_j = usd.hi + usd.lo
-        J = (jnp.sum(lin_d["l32"], axis=0)
-             + jnp.einsum("nib,ij,njb->b", us_j, R32, us_j)
-             + lN32)
+        J = self._cost_value32(qRd, qpd, xid, usd, refs_df, term_tail, R32,
+                               consts32)
 
         bk = lambda x: jnp.moveaxis(x, -1, 0)
         qs = jnp.zeros((B, N + 1, 4, 4), dtp)
