@@ -51,10 +51,12 @@ xi0_anchor = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_xi0.npy"))
 us_golden = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_us.npy"))
 
 cls = DFPipelineSolver if FULL_DF else MixedDFPipelineSolver
+kw = ({} if FULL_DF
+      else dict(fx_mode=os.environ.get("FX_MODE", "df")))
 dfp = cls(N=bench.HORIZON, dt=float(prob["dt"]),
           f32_iterations=F32_ITERS, df_iterations=DF_ITERS,
           batch_tile=min(bench.BATCH_TILE, B),
-          stage_chunk=bench.STAGE_CHUNK)
+          stage_chunk=bench.STAGE_CHUNK, **kw)
 sp = split_pytree(params64)
 
 

@@ -160,11 +160,14 @@ def test_small_angle_log_and_newton_renorm():
 
 
 @pytest.mark.parity
-def test_df_mixed_hits_f64_fixed_point():
+@pytest.mark.parametrize("fx_mode", ["df", "hybrid"])
+def test_df_mixed_hits_f64_fixed_point(fx_mode):
     """f32 phase + mixed-precision polish lands inside the 1e-4 gate vs the
     f64 oracle at the same total budget (mirror of
     test_df_pipeline_hits_f64_fixed_point; parity-marked for the multi-
-    minute XLA:CPU compile of the polish graph)."""
+    minute XLA:CPU compile of the polish graph).  'hybrid' runs the f32
+    Jacobian on all but the last polish iteration — the closing
+    DF-Jacobian iteration must erase the f32 bias."""
     from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
     from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import (
         FastBatchSolver,
@@ -199,7 +202,7 @@ def test_df_mixed_hits_f64_fixed_point():
     np_params = jax.tree.map(np.asarray, params)
     mx = MixedDFPipelineSolver(N=H, dt=float(params["dyn"].dt),
                                f32_iterations=F32_ITERS,
-                               df_iterations=DF_ITERS,
+                               df_iterations=DF_ITERS, fx_mode=fx_mode,
                                interpret=jax.default_backend() != "tpu")
     out = mx.solve(np_params, q0s, xi0s, us0s)
     us_mx = join_us(out)

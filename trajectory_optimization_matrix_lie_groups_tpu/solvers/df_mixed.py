@@ -449,7 +449,15 @@ class MixedDFPipelineSolver(DFPipelineSolver):
     converges (grad 5e-8) to a point 3.6e-4 from the f64 optimum at
     N=200 — OUTSIDE the 1e-4 gate (measured, records name=df_mixed_tpu
     2026-08-21; H=30 CPU shows the same 2x degradation at 6.1e-5).  Use
-    'f32' only where ~4e-4 control fidelity suffices."""
+    'f32' only where ~4e-4 control fidelity suffices.  'hybrid' runs the
+    f32 Jacobian on every polish iteration except the LAST (unrolled
+    schedule): the f32 bias is erased by the closing DF-Jacobian
+    iteration, and accuracy matches 'df' (5.75e-5 vs 5.74e-5 on chip at
+    the bench config).  Measured on-chip it is perf-NEUTRAL with
+    kernel_polish (0.452 vs 0.448 s DF phase, records name=df_mixed_tpu
+    2026-08-21): the kernelized phase is not Jacobian-bound.  It helps
+    on the plain-XLA path (interpret/CPU), where the DF Jacobian is the
+    largest lane-folded product chain."""
 
     def __init__(self, *args, fx_mode: str = "df", kernel_polish=None,
                  **kwargs):
@@ -460,8 +468,9 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         split / roofline_f32_df).  Default: on for compiled runs, off in
         interpret mode (the DF kernel bodies are 2k-16k primitives; an
         interpreted grid sweep over them is minutes-slow)."""
-        if fx_mode not in ("df", "f32"):
-            raise ValueError(f"fx_mode must be 'df' or 'f32', got {fx_mode}")
+        if fx_mode not in ("df", "f32", "hybrid"):
+            raise ValueError(
+                f"fx_mode must be 'df', 'f32' or 'hybrid', got {fx_mode}")
         self.fx_mode = fx_mode
         super().__init__(*args, **kwargs)
         self.kernel_polish = (not self.base.interpret
@@ -496,15 +505,21 @@ class MixedDFPipelineSolver(DFPipelineSolver):
     # -- mixed linearization ------------------------------------------------
 
     def _linearize_tail_mx(self, qR, qp, xi, evals, refs, consts_df,
-                           consts32):
+                           consts32, fx_df=None):
         """Stage linearization of the trajectory (qR, qp, xi) REUSING the
         rollout's dynamics evaluations ``evals`` = (fqR, fqp, fxi) DF
         (N, ..., B) — the DF twin of the f32 pipeline's fused
         rollout+linearize kernel.  Defect d and gradient lx in DF, the GN
-        Hessian lxx in f32.  Returns the lin dict of (N, ..., B) values."""
+        Hessian lxx in f32.  ``fx_df`` overrides the Jacobian precision
+        for this call (None: follow fx_mode — used by the hybrid schedule,
+        which runs f32 Jacobians on all but the last polish iteration).
+        Returns the lin dict of (N, ..., B) values."""
+        if fx_df is None:
+            fx_df = self.fx_mode != "f32"
         if self.kernel_polish:
             return self._linearize_tail_mx_k(qR, qp, xi, evals, refs,
-                                             consts_df, consts32)
+                                             consts_df, consts32,
+                                             fx_df=fx_df)
         B = qR.hi.shape[-1]
         fold, tile, unfold = self._fold, (lambda d: self._tile(d, B)), \
             (lambda d: self._unfold(d, B))
@@ -525,7 +540,7 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         Rni, pni = pll.se3_inverse(Rn, pn)
         Rd, pd = pll.se3_compose(Rni, pni, fqR, fqp)
         d = dfx.concatenate([pll.se3_log(Rd, pd), fxi - xin], axis=0)
-        if self.fx_mode == "f32":
+        if not fx_df:
             Fx = stage_jacobian(
                 R.hi, xis.hi, tile(consts32["Jl"]), tile(consts32["Jil"]),
                 tile(consts32["mg"]), dt=self.dt, gravity=self.gravity,
@@ -659,11 +674,13 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         return k32, K32, dfx.DF(gH, gL), lN32
 
     def _linearize_tail_mx_k(self, qR, qp, xi, evals, refs, consts_df,
-                             consts32):
+                             consts32, fx_df=True):
         """Pallas twin of `_linearize_tail_mx`: three stage-parallel
         kernels (defect / Jacobian / cost quad), each under the remote
         compiler's body-size ceiling (the combined body is 37k primitives
-        — over it)."""
+        — over it).  ``fx_df=False`` computes the Jacobian in f32 (XLA
+        lane fold) and hands it to the backward as DF(Fx32, 0) — the
+        riccati kernel's input contract is DF."""
         N = self.N
         B = qR.hi.shape[-1]
         dtp = jnp.float32
@@ -706,7 +723,7 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         )(*ins_d)
 
         # ---- Jacobian kernel ---------------------------------------------
-        if self.fx_mode == "f32":
+        if not fx_df or self.fx_mode == "f32":
             fold = self._fold
             tile = lambda d: self._tile(d, B)
             Fx32 = stage_jacobian(
@@ -714,6 +731,10 @@ class MixedDFPipelineSolver(DFPipelineSolver):
                 tile(consts32["Jil"]), tile(consts32["mg"]), dt=self.dt,
                 gravity=self.gravity, exact_grav=self.exact_grav)
             Fx = self._unfold(Fx32, B)
+            if self.fx_mode != "f32":
+                # the riccati kernel consumes DF Fx; a zero lo plane keeps
+                # the contract while the VALUE carries f32 rounding only
+                Fx = dfx.DF(Fx, jnp.zeros_like(Fx))
         else:
             ins_j = [sl0(qR).hi, sl0(qR).lo, sl0(xi).hi, sl0(xi).lo]
             consts_j = [consts_df["Jl"].hi, consts_df["Jl"].lo,
@@ -955,27 +976,45 @@ class MixedDFPipelineSolver(DFPipelineSolver):
             _, _, gvec, _ = self._backward_mx(lin, lu, term, consts_df,
                                               consts32)
         else:
-            def df_body(_, carry):
-                qRd, qpd, xid, usd = (_df(c) for c in carry[:4])
-                evals = tuple(_df(e) for e in carry[4])
+            def df_iter(qRd, qpd, xid, usd, evals, fx_df):
                 lin = self._linearize_tail_mx(qRd, qpd, xid, evals, refs_df,
-                                              consts_df, consts32)
+                                              consts_df, consts32,
+                                              fx_df=fx_df)
                 lu = lu_glue(usd)
                 term = (last(qRd), last(qpd), last(xid)) + term_mx
                 k32, K32, gvec, _ = self._backward_mx(lin, lu, term,
                                                       consts_df, consts32)
                 qRd, qpd, xid, usd, evals = self._rollout_mx(
                     qRd, qpd, xid, usd, k32, K32, lin, consts_df)
-                return (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
-                        tuple(_pair(e) for e in evals), _pair(gvec))
+                return qRd, qpd, xid, usd, evals, gvec
 
             evals0 = self._dyn_evals_mx(qRd, qpd, xid, usd, consts_df)
-            gvec0 = dfx.promote(jnp.zeros((N, nu, B), dtp))
-            carry = (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
-                     tuple(_pair(e) for e in evals0), _pair(gvec0))
-            carry = lax.fori_loop(0, self.df_iterations, df_body, carry)
-            qRd, qpd, xid, usd = (_df(c) for c in carry[:4])
-            gvec = _df(carry[5])
+            if self.fx_mode == "hybrid":
+                # unrolled schedule: f32 Jacobian on every iteration except
+                # the last (its bias would persist only if a DF-Jacobian
+                # iteration did not follow — measured: fx_mode='f32'
+                # converges 3.6e-4 from the optimum, records
+                # name=df_mixed_tpu 2026-08-21)
+                evals = evals0
+                for i in range(self.df_iterations):
+                    qRd, qpd, xid, usd, evals, gvec = df_iter(
+                        qRd, qpd, xid, usd, evals,
+                        fx_df=(i == self.df_iterations - 1))
+            else:
+                def df_body(_, carry):
+                    qRd, qpd, xid, usd = (_df(c) for c in carry[:4])
+                    evals = tuple(_df(e) for e in carry[4])
+                    out = df_iter(qRd, qpd, xid, usd, evals, None)
+                    qRd, qpd, xid, usd, evals, gvec = out
+                    return (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
+                            tuple(_pair(e) for e in evals), _pair(gvec))
+
+                gvec0 = dfx.promote(jnp.zeros((N, nu, B), dtp))
+                carry = (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
+                         tuple(_pair(e) for e in evals0), _pair(gvec0))
+                carry = lax.fori_loop(0, self.df_iterations, df_body, carry)
+                qRd, qpd, xid, usd = (_df(c) for c in carry[:4])
+                gvec = _df(carry[5])
 
         gsum = gvec.hi + gvec.lo
         g = jnp.mean(jnp.sqrt(jnp.sum(gsum * gsum, axis=1)), axis=0)
