@@ -96,5 +96,51 @@ result = dict(
     lane0_us_max_err_vs_golden=err,
     u_range=[round(float(res.us.min()), 2), round(float(res.us.max()), 2)],
 )
+
+if os.environ.get("POLISH", "1") == "1":
+    # The golden has 31 controls RAILED at +10 (an active box), so an
+    # unconstrained polish diverges (measured: 94.5 max err, 2026-08-21
+    # record) — instead polish the AUGMENTED Lagrangian at the converged
+    # outer loop's fixed (lmbd, imu): its fixed point is the constrained
+    # optimum to multiplier accuracy (solvers/df_mixed.py `al=` contract).
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_pipeline import (
+        al_polish,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_mixed import (
+        MixedDFPipelineSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.al_bench import (
+        build_al1400_np64,
+    )
+
+    # FULL f32 budget: the polish re-closes the MS defects itself
+    # (al_polish docstring; a short budget stalls at grad ~4e-3)
+    PF32 = int(os.environ.get("POLISH_F32", str(ITERS)))
+    PDF = int(os.environ.get("POLISH_DF", "2"))
+    N_POL = int(os.environ.get("POLISH_OUTERS", "2"))
+    mx = MixedDFPipelineSolver(N=H, dt=float(dp.dt), f32_iterations=PF32,
+                               df_iterations=PDF,
+                               batch_tile=min(256, B), stage_chunk=CHUNK)
+    params64 = build_al1400_np64(H)
+    t0 = time.perf_counter()
+    us_pol, out, _, _ = al_polish(mx, params64, lb, ub, res, batches[3],
+                                  xi0s, n_outers=N_POL)
+    t_pol_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    us_pol, out, _, _ = al_polish(mx, params64, lb, ub, res, batches[3],
+                                  xi0s, n_outers=N_POL)
+    t_pol = time.perf_counter() - t0
+    err_pol = float(np.max(np.abs(us_pol[0] - us_ref)))
+    result.update(
+        polish_f32_iters=PF32, polish_df_iters=PDF, polish_al=True,
+        polish_outers=N_POL,
+        t_polish_s=round(t_pol, 3),
+        t_polish_compile_s=round(t_pol_compile, 1),
+        solves_per_s_with_polish=round(B / (t_best + t_pol), 1),
+        lane0_us_max_err_polished=err_pol,
+        gate_1e4_passed=bool(err_pol <= 1e-4),
+        u_abs_max_polished=round(float(np.abs(us_pol).max()), 3),
+    )
+
 print(json.dumps(result))
 record("ref_scale_al1400", result)

@@ -215,3 +215,118 @@ def test_al_pipeline_warm_start_agrees_with_cold():
     te_c = float(track_err(cold.qs).mean())
     te_w = float(track_err(warm.qs).mean())
     assert te_w <= te_c * 1.05 + 1e-6, (te_w, te_c)
+
+
+@pytest.mark.parity
+def test_al_mixed_polish_refines_active_set_to_f64():
+    """Fixed-multiplier mixed-DF polish of a constrained solve with an
+    ACTIVE box: warm-started at the f32 AL solution with its (lmbd, imu),
+    `MixedDFPipelineSolver.solve(..., al=...)` minimizes the augmented
+    Lagrangian and must land within 1e-4 of the f64 AL oracle — where the
+    f32 AL solve alone is ~1e-3 away.  (The unconstrained polish DIVERGES
+    on active-set problems — measured 94.5 max err on the N=1400 AL
+    problem, records name=ref_scale_al1400 2026-08-21 — so this gate is
+    what makes constrained reference-scale accuracy possible.)"""
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_mixed import (
+        MixedDFPipelineSolver,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_pipeline import (
+        join_us,
+    )
+
+    data = load_benchmark_pickle(PKL)
+    prob = data["prob"]
+    H, B, ITERS = 24, 2, 12
+    q_ref64 = jnp.asarray(np.asarray(prob["q_ref"])[: H + 1], jnp.float64)
+    xi_ref64 = jnp.asarray(
+        np.asarray(prob["xi_ref"])[: H + 1].reshape(H + 1, 6), jnp.float64)
+
+    dyn = dynamics.se3_dynamics()
+    dp64 = dynamics.se3_params(jnp.asarray(prob["J"], jnp.float64),
+                               jnp.asarray(float(prob["dt"]), jnp.float64))
+    cd = costs.tracking_cost(SE3, 6)
+    # the benchmark's R ~ 1e-5 leaves the constrained problem control-flat
+    # (f32 and f64 AL runs legitimately settle ~50 apart in u at equal
+    # cost); a well-conditioned R makes the constrained optimum unique so
+    # a control-space gate is meaningful
+    Rmod = 1e-2 * np.eye(6)
+    cp64 = costs.tracking_cost_params(
+        SE3, jnp.asarray(prob["Q"], jnp.float64),
+        jnp.asarray(Rmod, jnp.float64),
+        jnp.asarray(prob["P"], jnp.float64), q_ref64, xi_ref64)
+
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(3), (B, 6), jnp.float64)
+    q0s64 = SE3.normalize(q_ref64[0][None] @ SE3.exp(dq))
+    xi0s64 = jnp.broadcast_to(xi_ref64[0], (B, 6))
+    us0_64 = jnp.zeros((B, H, 6), jnp.float64)
+
+    # size the box from the unconstrained f64 optimum so it is ACTIVE
+    model_u, _ = make_model(dyn, cd, dp64, None)
+    fast_u = FastBatchSolver(model_u, N=H, iterations=ITERS,
+                             use_pallas=False)
+    unc = fast_u.solve({"dyn": dp64, "cost": cp64}, q0s64, xi0s64, us0_64,
+                       q_ref64, xi_ref64)
+    umax = float(np.abs(np.asarray(unc.us)).max())
+    # 0.15x rails ~86 controls at H=24 (0.3x is already interior: the
+    # fixed-budget unconstrained iterate's 745 peak is a transient)
+    lb, ub = -0.15 * umax, 0.15 * umax
+
+    # f64 AL oracle (XLA path)
+    constr = cs.input_box(12, 6)
+    al_cd = costs.al_cost(cd, constr)
+    model_c, _ = make_model(dyn, al_cd, dp64, None)
+    constr_p = cs.input_box_params(lb, ub, 6)
+    alp64 = costs.al_init_params(cp64, constr_p, H, constr.constr_size,
+                                 mu0=1e-2, dtype=jnp.float64)
+    inner = FastBatchSolver(model_c, N=H, iterations=ITERS, use_pallas=False)
+    # tiny tol + extra outers: the oracle must CONVERGE ITS DUALS (a
+    # feasibility-tol break leaves lmbd ascent-inaccurate and the primal
+    # ~1e-3 off the true constrained optimum — the very gap the polish
+    # closes, so the oracle may not carry it)
+    ref = ALFastSolver(inner, constr, tol_constr=1e-9).solve(
+        {"dyn": dp64, "cost": alp64}, q0s64, xi0s64, us0_64,
+        q_ref=q_ref64, xi_ref=xi_ref64, n_al_iters=20)
+    us64 = np.asarray(ref.us, np.float64)
+    assert (np.abs(us64) >= ub - 1e-6).any(), "box not active — bad premise"
+
+    # f32 AL pipeline solve (the production constrained path)
+    to32 = lambda t: jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, t)
+    dp32, cp32 = to32(dp64), to32(cp64)
+    q0s32 = jnp.asarray(q0s64, jnp.float32)
+    xi0s32 = jnp.asarray(xi0s64, jnp.float32)
+    us0_32 = jnp.zeros((B, H, 6), jnp.float32)
+    pipe = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(prob["dt"]),
+                                interpret=jax.default_backend() != "tpu")
+    alp_pipe = ALPipelineSolver(pipe, lb=np.full(6, lb), ub=np.full(6, ub),
+                                tol_constr=1e-3)
+    res = alp_pipe.solve(dp32, cp32, q0s32, xi0s32, us0_32, n_al_iters=12)
+    err_f32 = float(np.max(np.abs(np.asarray(res.us, np.float64) - us64)))
+
+    # DF polish: augmented inner at fixed (lmbd, imu) + float64 dual
+    # ascent outers (the f32 loop converges feasibility, not the duals)
+    import bench
+
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_pipeline import (
+        al_polish,
+    )
+
+    params64 = bench.build_problem_np64(prob, H)
+    params64 = {**params64,
+                "cost": params64["cost"]._replace(R=np.asarray(Rmod))}
+    # FULL f32 budget: the polish rebuilds its trajectory from the
+    # reference tail, so its f32 phase must re-close the MS defects on its
+    # own — 4 iterations stall at grad 3.7e-3 / err 3.8e-2 (measured)
+    mx = MixedDFPipelineSolver(N=H, dt=float(prob["dt"]),
+                               f32_iterations=ITERS, df_iterations=2,
+                               interpret=jax.default_backend() != "tpu")
+    us_pol, out, _, _ = al_polish(mx, params64, lb, ub, res, q0s32, xi0s32,
+                                  n_outers=2)
+    err_pol = float(np.max(np.abs(us_pol - us64)))
+    assert err_pol < 1e-4, (err_pol, err_f32)
+    assert err_pol < err_f32 / 3, (err_pol, err_f32)
+    # polished controls stay (near-)feasible: the augmented optimum can sit
+    # a multiplier-grade distance outside the rail, not more
+    assert float(np.abs(us_pol).max()) <= ub * (1 + 1e-3)

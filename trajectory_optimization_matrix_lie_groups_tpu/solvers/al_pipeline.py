@@ -38,6 +38,9 @@ class ALPipelineResult(NamedTuple):
     max_violation: jnp.ndarray  # (B,)
     outer_iterations: int
     constr_converged: bool
+    imu: jnp.ndarray = None   # (B, N+1, 2nu) final active-set penalties —
+    #   with lmbd, the fixed-multiplier state a DF polish needs
+    #   (MixedDFPipelineSolver.solve(..., al=(lb, ub, lmbd, imu)))
 
 
 class ALPipelineSolver:
@@ -126,5 +129,70 @@ class ALPipelineSolver:
         return ALPipelineResult(
             qs=st.qs, xis=st.xis, us=st.us, J_opt=st.J_opt, lmbd=lmbd,
             max_violation=maxv, outer_iterations=outer + 1,
-            constr_converged=converged,
+            constr_converged=converged, imu=imu,
         )
+
+
+def al_polish(mx, params64, lb, ub, res, q0s, xi0s, n_outers=2,
+              mu_scale=10.0, mu_max=1e8):
+    """Double-f32 refinement of a constrained (input-box) solve.
+
+    ``mx`` is a `MixedDFPipelineSolver` — give it the FULL f32 iteration
+    budget of the f32 AL inner (the polish rebuilds its trajectory from
+    the reference tail, so its f32 phase must re-close the multiple-
+    shooting defects on its own; a short budget stalls the inner at
+    grad ~4e-3, measured).  ``params64`` is the float64 host params;
+    ``res`` an `ALPipelineResult` (or anything with .us/.lmbd/.imu)
+    from the f32 AL outer loop.  Each outer runs the mixed-precision
+    polish on the AUGMENTED Lagrangian at fixed (lmbd, imu) — measured to
+    land on the f64 inner optimum to ~4e-10 (tests/test_al_pipeline.py) —
+    then first-order dual ascent in float64 on the host
+    (`costs.al_update_diag` semantics).  The f32 loop converges
+    FEASIBILITY (violation < tol) but leaves the duals only
+    ascent-accurate, which caps the primal at ~1e-3 of the true
+    constrained optimum; a couple of DF outers close that dual gap.
+
+    Per-lane feasibility fallback: a lane whose f32 duals are NOT
+    ascent-converged can make the augmented problem unbounded-ish in box
+    directions (with R ~ 0 and near-zero imu rows the polish may leave
+    the box entirely — observed |u| 10x the bound on hard perturbed
+    lanes); any lane whose polished max violation exceeds the f32
+    solution's (beyond float slack) keeps the f32 controls instead.
+
+    Returns (us_f64 (B, N, nu), out: DFState, lmbd, imu) — the polished
+    controls in float64 (fallback applied) and the final polish
+    state/multipliers.
+    """
+    nu = np.shape(res.us)[-1]
+    lbv = np.broadcast_to(np.asarray(lb, np.float64), (nu,))
+    ubv = np.broadcast_to(np.asarray(ub, np.float64), (nu,))
+    lam = np.asarray(res.lmbd, np.float64)        # (B, N+1, 2nu)
+    imu = np.asarray(res.imu, np.float64)
+    mu = np.full(lam.shape[0], float(np.max(imu)))
+    us_warm = jnp.asarray(np.asarray(res.us), jnp.float32)
+    out = None
+    for _ in range(n_outers):
+        out = mx.solve(params64, q0s, xi0s, us_warm,
+                       al=(lbv, ubv, lam.astype(np.float32),
+                           imu.astype(np.float32)))
+        us64 = (np.asarray(out.us_hi, np.float64)
+                + np.asarray(out.us_lo, np.float64))
+        glo = lbv[None, None] - us64
+        ghi = us64 - ubv[None, None]
+        g = np.concatenate([glo, ghi], axis=-1)   # (B, N, 2nu)
+        g = np.concatenate([g, np.zeros_like(g[:, :1])], axis=1)
+        # pure-numpy float64 dual update (al_update_diag semantics; numpy
+        # so a no-x64 TPU process cannot silently degrade it to f32)
+        lam = np.clip(lam + imu * g, 0.0, None)
+        mu = np.minimum(mu * mu_scale, mu_max)
+        imu = np.where((g < 0.0) & (lam == 0.0), 0.0,
+                       mu[:, None, None])
+        us_warm = jnp.asarray(us64, jnp.float32)
+
+    viol = lambda u: np.maximum(
+        np.maximum(lbv[None, None] - u, u - ubv[None, None]).max(
+            axis=(1, 2)), 0.0)
+    us_f32_64 = np.asarray(res.us, np.float64)
+    bad = viol(us64) > viol(us_f32_64) + 1e-5
+    us64 = np.where(bad[:, None, None], us_f32_64, us64)
+    return us64, out, lam, imu

@@ -129,7 +129,8 @@ def stage_cost_quad_mx(R, p, xi, RbiR, Rbip, Adb, xib, W1_df, W2_df, W1_32):
 
 
 def riccati_stage_mx(fx, dd, lx_t, lu_t, lxx32, fu2_df, fu2T_df, fu2_32,
-                     fu2T_32, Luu32, Vx, Vxx32, *, nu, glow, half=6):
+                     fu2T_32, Luu32, Vx, Vxx32, *, nu, glow, half=6,
+                     luual_t=None):
     """One mixed-precision defect-aware Riccati step on lane-layout values.
 
     Same math/block structure as `solvers.pipeline.riccati_stage`
@@ -169,6 +170,13 @@ def riccati_stage_mx(fx, dd, lx_t, lu_t, lxx32, fu2_df, fu2T_df, fu2_32,
     Qux = pll.matmul(fu2T_32, VF[h:], h)                     # Lux = 0
     Quu = Luu32 + pll.matmul(fu2T_32,
                              pll.matmul(Vxx32[h:, h:], fu2_32, h), h)
+    if luual_t is not None:
+        # diagonal AL penalty add via a one-hot mask (Mosaic: no scatter);
+        # f32 preconditioner-grade like the rest of Quu
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 1)
+        eye = (r_i == c_i).astype(Quu.dtype)
+        Quu = Quu + eye * luual_t[:, None, :]
     L = chol_factor_lane(Quu, nu)
     K = -chol_solve_lane(L, Qux, nu)
 
@@ -274,10 +282,7 @@ def _nobar(kernel_fn):
 
 @_nobar
 def _riccati_kernel_mx(FxH, FxL, dH, dL, lxH, lxL, luH, luL, lxx32_ref,
-                       VxNH, VxNL, VxxN32,
-                       FuH, FuL, Luu32,
-                       kO, KO, gH, gL,
-                       VxH_s, VxL_s, Vxx_s, *, nu, chunk, glow):
+                       *rest, nu, chunk, glow, al=False):
     """Pallas twin of `MixedDFPipelineSolver._backward_mx`'s scan: the
     mixed Riccati recursion with the DF adjoint carry (two f32 scratch
     planes) and the f32 value-Hessian carry, grid (batch_tiles, N//chunk)
@@ -285,7 +290,18 @@ def _riccati_kernel_mx(FxH, FxL, dH, dL, lxH, lxL, luH, luL, lxx32_ref,
     quadratization runs OUTSIDE as XLA glue (its DF body alone is ~16k
     primitives — in-kernel it would put the body past the remote
     compiler's ceiling); the initial carry arrives as the (VxN, VxxN32)
-    inputs."""
+    inputs.  ``al``: one extra gridded input (N, nu, B) of per-stage
+    diagonal Quu additions — the input-box AL penalty (the matching lu
+    additions ride the luH/luL inputs, added as XLA glue; mirrors
+    `pipeline._riccati_kernel_const(al=True)`)."""
+    if al:
+        (luual_ref, VxNH, VxNL, VxxN32, FuH, FuL, Luu32,
+         kO, KO, gH, gL, VxH_s, VxL_s, Vxx_s) = rest
+    else:
+        luual_ref = None
+        (VxNH, VxNL, VxxN32, FuH, FuL, Luu32,
+         kO, KO, gH, gL, VxH_s, VxL_s, Vxx_s) = rest
+
     @pl.when(pl.program_id(1) == 0)
     def _init():
         VxH_s[:] = VxNH[:]
@@ -303,7 +319,8 @@ def _riccati_kernel_mx(FxH, FxL, dH, dL, lxH, lxL, luH, luL, lxx32_ref,
         k32, K32, Qu, Vx, Vxx = riccati_stage_mx(
             dfx.DF(FxH[t], FxL[t]), dfx.DF(dH[t], dL[t]),
             dfx.DF(lxH[t], lxL[t]), dfx.DF(luH[t], luL[t]), lxx32_ref[t],
-            fu2, fu2T, fu2_32, fu2T_32, Luu, Vx, Vxx, nu=nu, glow=glow)
+            fu2, fu2T, fu2_32, fu2T_32, Luu, Vx, Vxx, nu=nu, glow=glow,
+            luual_t=None if luual_ref is None else luual_ref[t])
         kO[t] = k32
         KO[t] = K32
         gH[t] = Qu.hi
@@ -620,7 +637,8 @@ class MixedDFPipelineSolver(DFPipelineSolver):
 
     # -- mixed backward -----------------------------------------------------
 
-    def _backward_mx_k(self, lin, lu, term, consts_df, consts32):
+    def _backward_mx_k(self, lin, lu, term, consts_df, consts32,
+                       luu_al=None):
         """Pallas twin of `_backward_mx` (kernel `_riccati_kernel_mx`)."""
         N = self.N
         B = lu.hi.shape[-1]
@@ -648,6 +666,8 @@ class MixedDFPipelineSolver(DFPipelineSolver):
             qRN, qpN, xiN, RbiRN, RbipN, AdbN, xibN, P1_df, P2_df, P1_32)
         ins = [lin["Fx"].hi, lin["Fx"].lo, lin["d"].hi, lin["d"].lo,
                lin["lx"].hi, lin["lx"].lo, lu.hi, lu.lo, lin["lxx32"]]
+        if luu_al is not None:
+            ins.append(luu_al)
         consts_in = [lxN.hi, lxN.lo, lxxN32,
                      consts_df["Fu"].hi, consts_df["Fu"].lo,
                      consts32["Luu"]]
@@ -660,7 +680,7 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         )
         out_specs = tuple(spec(s) for s in out_shapes)
         kernel = functools.partial(_riccati_kernel_mx, nu=nu, chunk=ck,
-                                   glow=self.gravity,
+                                   glow=self.gravity, al=luu_al is not None,
                                    nobar=not self.base.interpret)
         k32, K32, gH, gL = pl.pallas_call(
             kernel, grid=(nb, nc), out_shape=out_shapes,
@@ -781,12 +801,17 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         return dict(fqR=fqR, fqp=fqp, fxi=fxi, d=dfx.DF(dH, dL), Fx=Fx,
                     lx=dfx.DF(lxH, lxL), lxx32=lxx32, l32=l32[:, 0])
 
-    def _backward_mx(self, lin, lu, term, consts_df, consts32):
+    def _backward_mx(self, lin, lu, term, consts_df, consts32,
+                     luu_al=None):
         """Reverse scan; body = `riccati_stage_mx`.  ``term`` carries the
-        DF terminal state/refs + DF P1/P2 + f32 P1 lanes.
-        Returns (k32 (N,nu,B), K32 (N,nu,12,B), gvec DF, lN32 (B,))."""
+        DF terminal state/refs + DF P1/P2 + f32 P1 lanes.  ``luu_al``:
+        optional (N, nu, B) f32 per-stage diagonal Quu additions (the
+        input-box AL penalty, same contract as the f32 pipeline's
+        `_backward_lane`).  Returns (k32 (N,nu,B), K32 (N,nu,12,B),
+        gvec DF, lN32 (B,))."""
         if self.kernel_polish:
-            return self._backward_mx_k(lin, lu, term, consts_df, consts32)
+            return self._backward_mx_k(lin, lu, term, consts_df, consts32,
+                                       luu_al=luu_al)
         (qRN, qpN, xiN, RbiRN, RbipN, AdbN, xibN, P1_df, P2_df,
          P1_32) = term
         lxN, lxxN32, lN32 = stage_cost_quad_mx(
@@ -800,17 +825,18 @@ class MixedDFPipelineSolver(DFPipelineSolver):
 
         def step(carry, inp):
             Vx, Vxx32 = _df(carry[0]), carry[1]
-            fx_p, dd_p, lx_p, lu_p, lxx32_t = inp
+            fx_p, dd_p, lx_p, lu_p, lxx32_t, lual_t = inp
             fx_t = _df(fx_p) if isinstance(fx_p, tuple) else fx_p
             k32, K32, Qu, Vx_n, Vxx_n32 = riccati_stage_mx(
                 fx_t, _df(dd_p), _df(lx_p), _df(lu_p), lxx32_t,
                 fu2_df, fu2T_df, fu2_32, fu2T_32, Luu32, Vx, Vxx32,
-                nu=nu, glow=self.gravity)
+                nu=nu, glow=self.gravity, luual_t=lual_t)
             return ((_pair(Vx_n), Vxx_n32), (k32, K32, _pair(Qu)))
 
         fx_xs = (_pair(lin["Fx"]) if dfx.is_df(lin["Fx"]) else lin["Fx"])
+        # None is an empty pytree: scan threads it through untouched
         xs = (fx_xs, _pair(lin["d"]), _pair(lin["lx"]),
-              _pair(lu), lin["lxx32"])
+              _pair(lu), lin["lxx32"], luu_al)
         (_, _), (k32, K32, gvec_p) = lax.scan(
             step, (_pair(lxN), lxxN32), xs, reverse=True)
         return k32, K32, _df(gvec_p), lN32
@@ -921,7 +947,7 @@ class MixedDFPipelineSolver(DFPipelineSolver):
 
     # -- driver -------------------------------------------------------------
 
-    def _solve_df(self, sp, qR, qp, xi, us):
+    def _solve_df(self, sp, qR, qp, xi, us, al=None):
         """Phase 2 (mixed): overrides the full-DF polish driver; same
         contract.  The loop is ROTATED — each iteration linearizes at its
         own iterate (reusing the previous rollout's dynamics evals, or a
@@ -934,7 +960,17 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         backward's evaluation point — the iterate the last update stepped
         from, one polish step stale (the reference's on_iteration grad
         report has the same before-the-update semantics,
-        traopt_controller.py on_iteration)."""
+        traopt_controller.py on_iteration).
+
+        ``al``: optional input-box AL state at FIXED (lmbd, imu) — the
+        polish then minimizes the augmented Lagrangian: its u-gradient
+        additions ride the DF ``lu`` (multipliers are exact-at-f32
+        parameters; the residual products run full DF), the penalty's
+        diagonal Quu addition is the f32 preconditioner-grade ``luu_al``
+        input of the backward.  With the multipliers a converged AL outer
+        loop produced, the augmented fixed point IS the constrained
+        optimum to multiplier accuracy — the active-set refinement of the
+        unconstrained polish (see scripts/probe_al1400_tpu.py)."""
         B = qR.shape[-1]
         N = self.N
         dtp = jnp.float32
@@ -956,6 +992,20 @@ class MixedDFPipelineSolver(DFPipelineSolver):
 
         qRd, qpd, xid, usd = prom(qR), prom(qp), prom(xi), prom(us)
 
+        if al is not None:
+            lb_a, ub_a, lmbd_a, imu_a = al
+            lam_l = jnp.moveaxis(lmbd_a, 0, -1).astype(dtp)  # (N+1, 2nu, B)
+            imu_l = jnp.moveaxis(imu_a, 0, -1).astype(dtp)
+            lam_lo32, lam_hi32 = lam_l[:-1, :nu], lam_l[:-1, nu:]
+            im_lo32, im_hi32 = imu_l[:-1, :nu], imu_l[:-1, nu:]
+            lb32 = jnp.broadcast_to(
+                jnp.asarray(lb_a, dtp)[None, :, None], (N, nu, B))
+            ub32 = jnp.broadcast_to(
+                jnp.asarray(ub_a, dtp)[None, :, None], (N, nu, B))
+            luu_al32 = im_lo32 + im_hi32                      # (N, nu, B)
+        else:
+            luu_al32 = None
+
         def lu_glue(usd):
             rows = []
             for i in range(nu):
@@ -963,7 +1013,16 @@ class MixedDFPipelineSolver(DFPipelineSolver):
                 for j in range(nu):
                     acc = acc + dfx.DF(Rdf.hi[i, j], Rdf.lo[i, j]) * usd[:, j]
                 rows.append((acc * 2.0)[:, None])
-            return dfx.concatenate(rows, axis=1)  # (N, nu, B) DF
+            lu = dfx.concatenate(rows, axis=1)  # (N, nu, B) DF
+            if al is not None:
+                # AL u-gradient in DF: multipliers/penalties are exact-at-
+                # f32 parameters, the box residuals g carry the DF iterate
+                glo = dfx.promote(lb32) - usd
+                ghi = usd - dfx.promote(ub32)
+                lu = (lu
+                      - (dfx.promote(lam_lo32) + dfx.promote(im_lo32) * glo)
+                      + (dfx.promote(lam_hi32) + dfx.promote(im_hi32) * ghi))
+            return lu
 
         last = lambda d: _map_df(lambda x: x[-1], d)
 
@@ -974,7 +1033,7 @@ class MixedDFPipelineSolver(DFPipelineSolver):
             lu = lu_glue(usd)
             term = (last(qRd), last(qpd), last(xid)) + term_mx
             _, _, gvec, _ = self._backward_mx(lin, lu, term, consts_df,
-                                              consts32)
+                                              consts32, luu_al=luu_al32)
         else:
             def df_iter(qRd, qpd, xid, usd, evals, fx_df):
                 lin = self._linearize_tail_mx(qRd, qpd, xid, evals, refs_df,
@@ -983,7 +1042,8 @@ class MixedDFPipelineSolver(DFPipelineSolver):
                 lu = lu_glue(usd)
                 term = (last(qRd), last(qpd), last(xid)) + term_mx
                 k32, K32, gvec, _ = self._backward_mx(lin, lu, term,
-                                                      consts_df, consts32)
+                                                      consts_df, consts32,
+                                                      luu_al=luu_al32)
                 qRd, qpd, xid, usd, evals = self._rollout_mx(
                     qRd, qpd, xid, usd, k32, K32, lin, consts_df)
                 return qRd, qpd, xid, usd, evals, gvec
@@ -1020,6 +1080,15 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         g = jnp.mean(jnp.sqrt(jnp.sum(gsum * gsum, axis=1)), axis=0)
         J = self._cost_value32(qRd, qpd, xid, usd, refs_df, term_tail, R32,
                                consts32)
+        if al is not None:
+            # augmented-cost term (f32 diagnostic, mirrors pipeline._solve)
+            us32 = usd.hi + usd.lo
+            glo32 = lb32 - us32
+            ghi32 = us32 - ub32
+            J = J + jnp.sum(
+                lam_lo32 * glo32 + lam_hi32 * ghi32
+                + 0.5 * (im_lo32 * glo32 * glo32
+                         + im_hi32 * ghi32 * ghi32), axis=(0, 1))
 
         bk = lambda x: jnp.moveaxis(x, -1, 0)
         qs = jnp.zeros((B, N + 1, 4, 4), dtp)

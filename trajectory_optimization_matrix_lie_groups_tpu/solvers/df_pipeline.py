@@ -263,9 +263,12 @@ class DFPipelineSolver:
 
     # -- driver ------------------------------------------------------------
 
-    def _solve_f32(self, sp, q0s, xi0s, us0):
+    def _solve_f32(self, sp, q0s, xi0s, us0, al=None):
         """Phase 1: the plain-f32 fused Pallas pipeline (hi parts of the
-        split params reproduce the f32 path).  Returns lane-layout state."""
+        split params reproduce the f32 path).  Returns lane-layout state.
+        ``al``: optional input-box AL state (lb (nu,), ub (nu,),
+        lmbd (B, N+1, 2nu), imu (B, N+1, 2nu)) — same contract as
+        `pipeline.PallasPipelineSolver._solve`."""
         B = q0s.shape[0]
         N = self.N
         dtp = jnp.float32
@@ -320,12 +323,28 @@ class DFPipelineSolver:
         us = jnp.moveaxis(us0, 0, -1)  # (N, nu, B)
 
         R32 = hi(cost.R)
+        if al is not None:
+            lb_a, ub_a, lmbd_a, imu_a = al
+            lam_l = jnp.moveaxis(lmbd_a, 0, -1).astype(dtp)  # (N+1, 2nu, B)
+            imu_l = jnp.moveaxis(imu_a, 0, -1).astype(dtp)
+            lam_lo, lam_hi = lam_l[:-1, :nu], lam_l[:-1, nu:]
+            im_lo, im_hi = imu_l[:-1, :nu], imu_l[:-1, nu:]
+            lb32 = jnp.asarray(lb_a, dtp)[None, :, None]
+            ub32 = jnp.asarray(ub_a, dtp)[None, :, None]
+            luu_al = im_lo + im_hi
+        else:
+            luu_al = None
 
         def f32_body(_, carry):
             qR, qp, xi, us, lin = carry
             lu = 2.0 * jnp.einsum("ij,njb->nib", R32, us)
+            if al is not None:
+                glo = lb32 - us
+                ghi = us - ub32
+                lu = lu - (lam_lo + im_lo * glo) + (lam_hi + im_hi * ghi)
             term = (qR[-1], qp[-1], xi[-1]) + term32
-            k, K, gvec, lN = self.base._backward_lane(lin, lu, term, consts32)
+            k, K, gvec, lN = self.base._backward_lane(lin, lu, term, consts32,
+                                                      luu_al=luu_al)
             qR, qp, xi, us, lin = self.base._rollout_linearize_lane(
                 qR, qp, xi, us, k, K, lin, refs32, consts32)
             return qR, qp, xi, us, lin
@@ -381,9 +400,13 @@ class DFPipelineSolver:
         Rdf = dfx.DF(cost.R[0], cost.R[1])  # (nu, nu)
         return consts_df, refs_df, term_tail, Rdf, R32
 
-    def _solve_df(self, sp, qR, qp, xi, us):
+    def _solve_df(self, sp, qR, qp, xi, us, al=None):
         """Phase 2: double-f32 polish (plain XLA, lane layout) from the
         phase-1 lane state."""
+        if al is not None:
+            raise NotImplementedError(
+                "AL terms in the polish phase are implemented by "
+                "MixedDFPipelineSolver; the full-DF driver ignores them")
         B = qR.shape[-1]
         N = self.N
         dtp = jnp.float32
@@ -445,10 +468,16 @@ class DFPipelineSolver:
         return DFState(qs=qs, xis=bk(xid.hi), us_hi=bk(usd.hi),
                        us_lo=bk(usd.lo), J_opt=J, grad_norm=g)
 
-    def solve(self, params, q0s, xi0s, us0):
+    def solve(self, params, q0s, xi0s, us0, al=None):
         """params: {'dyn': SE3Params/RigidBodyParams, 'cost':
         TrackingCostParams} as float64 HOST (numpy) values — split on the
         host so full precision survives without x64 on device.
+
+        ``al``: optional input-box AL state (lb (nu,), ub (nu,),
+        lmbd (B, N+1, 2nu), imu (B, N+1, 2nu)) at FIXED multipliers —
+        both phases then minimize the augmented Lagrangian, so the polish
+        refines a constrained (active-set) solve; supported by the mixed
+        driver (`MixedDFPipelineSolver`), not the full-DF one.
 
         The whole program is f32 (hi/lo pairs), so it is traced and run
         with x64 OFF regardless of the caller's setting: under x64,
@@ -471,11 +500,17 @@ class DFPipelineSolver:
         q0f = stage(q0s)
         xif = stage(xi0s)
         usf = stage(us0)
+        if al is not None:
+            lb_a, ub_a, lmbd_a, imu_a = al
+            nu = np.shape(us0)[-1]
+            al = (np.broadcast_to(np.asarray(lb_a, np.float32), (nu,)),
+                  np.broadcast_to(np.asarray(ub_a, np.float32), (nu,)),
+                  stage(lmbd_a), stage(imu_a))
         prev = jax.config.jax_enable_x64
         jax.config.update("jax_enable_x64", False)
         try:
-            lane_state = self._f32_jit(sp, q0f, xif, usf)
-            out = self._df_jit(sp, *lane_state)
+            lane_state = self._f32_jit(sp, q0f, xif, usf, al)
+            out = self._df_jit(sp, *lane_state, al)
             jax.block_until_ready(out)
         finally:
             jax.config.update("jax_enable_x64", prev)
