@@ -7,6 +7,10 @@ from trajectory_optimization_matrix_lie_groups_tpu.solvers.lie_ilqr import (  # 
 )
 
 from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_ilqr import ALILQR  # noqa: F401
+from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_pipeline import (  # noqa: F401
+    ALPipelineSolver,
+    al_polish,
+)
 from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_mixed import MixedDFPipelineSolver  # noqa: F401
 from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_pipeline import DFPipelineSolver  # noqa: F401
 from trajectory_optimization_matrix_lie_groups_tpu.solvers.batched import FastBatchSolver  # noqa: F401
