@@ -212,3 +212,46 @@ def test_df_mixed_hits_f64_fixed_point(fx_mode):
     assert float(np.asarray(out.grad_norm).max()) < 1e-6
     np.testing.assert_allclose(np.asarray(out.J_opt, np.float64),
                                np.asarray(ref.J_opt, np.float64), rtol=1e-4)
+
+
+def test_riccati_stage_mx_al_diag_add():
+    """``luual_t`` adds the input-box AL penalty on Quu's diagonal only:
+    the mixed stage with the add must match the plain stage called with
+    Luu32 pre-incremented by diag(luual) — same K, k, Qu, Vx, Vxx to f32
+    rounding (the two paths sum Quu's terms in different orders)."""
+    B, nu, h = 8, 6, 6
+    lane = lambda a: np.moveaxis(a, 0, -1).copy()
+    fx = _df_of(lane(RNG.normal(size=(B, 12, 12)) * 0.3
+                     + np.eye(12)[None]))
+    dd = _df_of(lane(RNG.normal(size=(B, 12)) * 1e-3))
+    lx = _df_of(lane(RNG.normal(size=(B, 12))))
+    lu = _df_of(lane(RNG.normal(size=(B, nu))))
+    lxx32 = _psd(12, B).astype(np.float32)
+    Vxx32 = _psd(12, B).astype(np.float32)
+    Vx = _df_of(lane(RNG.normal(size=(B, 12))))
+    fu2_df = _df_of(lane(RNG.normal(size=(B, h, nu)) * 0.05))
+    fu2T_df = pll.transpose(fu2_df)
+    fu2_32 = fu2_df.hi
+    fu2T_32 = pll.transpose(fu2_32)
+    Luu32 = _psd(nu, B, scale=0.1).astype(np.float32)
+    # active-set style diag: some rows zero, some large
+    luual = np.abs(lane(RNG.normal(size=(B, nu)))).astype(np.float32)
+    luual[::2] = 0.0
+
+    out_al = riccati_stage_mx(
+        fx, dd, lx, lu, lxx32, fu2_df, fu2T_df, fu2_32, fu2T_32,
+        jnp.asarray(Luu32), Vx, jnp.asarray(Vxx32), nu=nu, glow=False,
+        luual_t=jnp.asarray(luual))
+    Luu_inc = Luu32 + np.eye(nu, dtype=np.float32)[..., None] * \
+        luual[None, :, :]
+    out_ref = riccati_stage_mx(
+        fx, dd, lx, lu, lxx32, fu2_df, fu2T_df, fu2_32, fu2T_32,
+        jnp.asarray(Luu_inc), Vx, jnp.asarray(Vxx32), nu=nu, glow=False)
+
+    for a, b in zip(out_al, out_ref):
+        if hasattr(a, "hi"):
+            a, b = _join(a), _join(b)
+        else:
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a, b, rtol=0, atol=3e-6 * scale)
