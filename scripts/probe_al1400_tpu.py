@@ -78,11 +78,13 @@ t_compile = time.perf_counter() - t0
 res = al.solve(dp, cp, batches[1], xi0s, us0, n_al_iters=N_AL)
 _ = np.asarray(res.us[:, 0, :])
 t_best = np.inf
+res_by_seed = {}
 for s in (2, 3):
     t0 = time.perf_counter()
     res = al.solve(dp, cp, batches[s], xi0s, us0, n_al_iters=N_AL)
     _ = np.asarray(res.us[:, 0, :])
     t_best = min(t_best, time.perf_counter() - t0)
+    res_by_seed[s] = res
 
 mv = np.asarray(res.max_violation)
 err = float(np.max(np.abs(np.asarray(res.us[0], np.float64) - us_ref)))
@@ -122,13 +124,16 @@ if os.environ.get("POLISH", "1") == "1":
                                df_iterations=PDF,
                                batch_tile=min(256, B), stage_chunk=CHUNK)
     params64 = build_al1400_np64(H)
+    # compile/warm on batches[2]'s result, time on batches[3]'s — identical
+    # repeated tunnel requests may be cache-served (CLAUDE.md), so the
+    # timed rep must see distinct inputs from the warm rep
     t0 = time.perf_counter()
-    us_pol, out, _, _ = al_polish(mx, params64, lb, ub, res, batches[3],
-                                  xi0s, n_outers=N_POL)
+    us_pol, out, _, _ = al_polish(mx, params64, lb, ub, res_by_seed[2],
+                                  batches[2], xi0s, n_outers=N_POL)
     t_pol_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
-    us_pol, out, _, _ = al_polish(mx, params64, lb, ub, res, batches[3],
-                                  xi0s, n_outers=N_POL)
+    us_pol, out, _, _ = al_polish(mx, params64, lb, ub, res_by_seed[3],
+                                  batches[3], xi0s, n_outers=N_POL)
     t_pol = time.perf_counter() - t0
     err_pol = float(np.max(np.abs(us_pol[0] - us_ref)))
     result.update(

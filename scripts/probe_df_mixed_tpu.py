@@ -53,10 +53,11 @@ us_golden = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_us.npy"))
 cls = DFPipelineSolver if FULL_DF else MixedDFPipelineSolver
 kw = ({} if FULL_DF
       else dict(fx_mode=os.environ.get("FX_MODE", "df")))
+SUBLANES = int(os.environ.get("SUBLANES", str(bench.SUBLANES)))
 dfp = cls(N=bench.HORIZON, dt=float(prob["dt"]),
           f32_iterations=F32_ITERS, df_iterations=DF_ITERS,
           batch_tile=min(bench.BATCH_TILE, B),
-          stage_chunk=bench.STAGE_CHUNK, **kw)
+          stage_chunk=bench.STAGE_CHUNK, sublanes=SUBLANES, **kw)
 sp = split_pytree(params64)
 
 
@@ -115,7 +116,7 @@ f32_iter_s = t_f32 / F32_ITERS
 result = dict(
     backend=jax.default_backend(), B=B, df_iters=DF_ITERS,
     f32_iters=F32_ITERS,
-    solver=cls.__name__,
+    solver=cls.__name__, sublanes=SUBLANES,
     fx_mode=getattr(dfp, "fx_mode", None),
     kernel_polish=getattr(dfp, "kernel_polish", None),
     t_compile_s=round(t_compile, 1),

@@ -255,3 +255,71 @@ def test_riccati_stage_mx_al_diag_add():
             a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         scale = max(1.0, np.abs(b).max())
         np.testing.assert_allclose(a, b, rtol=0, atol=3e-6 * scale)
+
+
+@pytest.mark.slow
+def test_kernel_polish_al_branch_interpret():
+    """The compiled ``kernel_polish`` Riccati path with ``al`` set (the
+    extra luu_al gridded input of `_riccati_kernel_mx`) traced in interpret
+    mode on a tiny problem: its controls must match the plain-XLA polish
+    path (kernel_polish=False) — keeps the al=True kernel arg-unpacking/
+    BlockSpecs covered off-chip (round-4 advisor finding)."""
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_pipeline import (
+        join_us,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.models import (
+        costs,
+        dynamics,
+    )
+
+    H, B, nu = 4, 2, 6
+    dt = 0.01
+    rng = np.random.default_rng(5)
+    # short synthetic reference: screw-ish motion from x0
+    xi_ref = np.tile(np.array([0.1, -0.05, 0.2, 0.5, 0.0, -0.3]), (H + 1, 1))
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3 as se3o
+
+    q = np.eye(4)
+    q_ref = [q]
+    for t in range(H):
+        q = q @ np.asarray(se3o.exp(jnp.asarray(xi_ref[t] * dt,
+                                                jnp.float64)))
+        q_ref.append(q)
+    q_ref = np.stack(q_ref)
+
+    J = np.diag([1.0, 2.0, 3.0, 1.0, 1.0, 1.0])
+    dp = dynamics.se3_params(jnp.asarray(J, jnp.float64),
+                             jnp.asarray(dt, jnp.float64))
+    cp = costs.tracking_cost_params(
+        SE3, jnp.asarray(np.eye(12), jnp.float64),
+        jnp.asarray(1e-2 * np.eye(6), jnp.float64),
+        jnp.asarray(10 * np.eye(12), jnp.float64),
+        jnp.asarray(q_ref, jnp.float64),
+        jnp.asarray(xi_ref, jnp.float64))
+    params = {"dyn": dp, "cost": cp}
+    np_params = jax.tree.map(np.asarray, params)
+
+    dq = 0.05 * rng.normal(size=(B, 6))
+    q0s = SE3.normalize(jnp.asarray(q_ref[0])[None]
+                        @ SE3.exp(jnp.asarray(dq, jnp.float64)))
+    xi0s = jnp.broadcast_to(jnp.asarray(xi_ref[0]), (B, 6))
+    us0 = jnp.zeros((B, H, nu), jnp.float64)
+
+    # fixed-multiplier AL state with a mix of active/inactive rows
+    lb = np.full(nu, -0.5)
+    ub = np.full(nu, 0.5)
+    lmbd = np.abs(rng.normal(size=(B, H + 1, 2 * nu))).astype(np.float32)
+    imu = np.where(rng.random((B, H + 1, 2 * nu)) < 0.5, 0.0, 10.0).astype(
+        np.float32)
+    al = (lb, ub, lmbd, imu)
+
+    mk = lambda kp: MixedDFPipelineSolver(
+        N=H, dt=dt, f32_iterations=2, df_iterations=1, interpret=True,
+        kernel_polish=kp)
+    out_k = mk(True).solve(np_params, q0s, xi0s, us0, al=al)
+    out_x = mk(False).solve(np_params, q0s, xi0s, us0, al=al)
+    us_k, us_x = join_us(out_k), join_us(out_x)
+    assert np.all(np.isfinite(us_k))
+    scale = max(1.0, np.abs(us_x).max())
+    np.testing.assert_allclose(us_k, us_x, rtol=0, atol=1e-5 * scale)

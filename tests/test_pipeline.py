@@ -222,3 +222,55 @@ def test_pipeline_fused_drone_gravity():
     np.testing.assert_allclose(np.asarray(b.us), np.asarray(a.us), atol=1e-12)
     np.testing.assert_allclose(np.asarray(b.J_opt), np.asarray(a.J_opt),
                                rtol=1e-12)
+
+@pytest.mark.slow
+def test_pipeline_sublane_layout_matches_lane():
+    """sublanes=8 (batch packed over both vreg axes, the round-5 VPU-
+    utilization layout) reproduces the lane layout's iterates bit-for-bit
+    on us/qs/xis; J/grad agree to f32 reduction-order noise.  Covers
+    unconstrained and AL paths, fused and unfused, tiled and untiled."""
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+
+    data, solver, params, x0, us0, _ = build_benchmark("se3_tracking", True)
+    H, B, ITERS = 12, 16, 4
+    cp = params["cost"]
+    cut = lambda a: a[: H + 1]
+    cp = cp._replace(q_ref=cut(cp.q_ref), q_ref_inv=cut(cp.q_ref_inv),
+                     Ad_ref=cut(cp.Ad_ref), xi_ref=cut(cp.xi_ref))
+    params = {**params, "cost": cp}
+    to32 = lambda t: jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, t)
+    params = to32(params)
+    cp = params["cost"]
+    dp = params["dyn"]
+
+    dq = 0.05 * jax.random.normal(jax.random.PRNGKey(3), (B, 6), jnp.float32)
+    q0s = SE3.normalize(cp.q_ref[0][None] @ SE3.exp(dq))
+    xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 6))
+    us0s = jnp.zeros((B, H, 6), jnp.float32)
+    lmbd = jnp.asarray(np.abs(np.random.default_rng(0).normal(
+        size=(B, H + 1, 12))), jnp.float32)
+    imu = jnp.full((B, H + 1, 12), jnp.float32(0.5))
+    al = (np.full(6, -5.0), np.full(6, 5.0), lmbd, imu)
+
+    interp = jax.default_backend() != "tpu"
+    for al_arg in (None, al):
+        for bt, fused in ((None, True), (8, True), (None, False)):
+            p1 = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                                      interpret=interp, batch_tile=bt,
+                                      fused=fused)
+            p8 = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                                      interpret=interp, batch_tile=bt,
+                                      fused=fused, sublanes=8)
+            a = p1.solve(dp, cp, q0s, xi0s, us0s, al=al_arg)
+            b = p8.solve(dp, cp, q0s, xi0s, us0s, al=al_arg)
+            for f in ("us", "qs", "xis"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                    atol=1e-6, err_msg=f"{f} al={al_arg is not None} "
+                    f"bt={bt} fused={fused}")
+            for f in ("J_opt", "grad_norm"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                    rtol=1e-4, atol=1e-5)

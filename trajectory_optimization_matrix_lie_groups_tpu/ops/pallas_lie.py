@@ -56,15 +56,15 @@ def _mat3(rows):
                       _mat3([[prom[i][j].lo for j in range(3)]
                              for i in range(3)]))
     # stack along sublane axes via broadcast-add with iota one-hots
-    B = rows[0][0].shape[-1]
+    bshape = rows[0][0].shape  # trailing batch dims: (B,) or (S, L)
     dt = rows[0][0].dtype
-    ri = jax.lax.broadcasted_iota(jnp.int32, (3, 3, 1), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (3, 3, 1), 1)
-    out = jnp.zeros((3, 3, B), dt)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (3, 3) + (1,) * len(bshape), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (3, 3) + (1,) * len(bshape), 1)
+    out = jnp.zeros((3, 3) + bshape, dt)
     for i in range(3):
         for j in range(3):
             out = out + jnp.where((ri == i) & (ci == j), 1.0, 0.0).astype(dt) \
-                * rows[i][j][None, None, :]
+                * rows[i][j][None, None]
     return out
 
 
@@ -74,12 +74,12 @@ def _vec(entries):
         prom = [dfx.promote(e) for e in entries]
         return dfx.DF(_vec([p.hi for p in prom]), _vec([p.lo for p in prom]))
     n = len(entries)
-    B = entries[0].shape[-1]
+    bshape = entries[0].shape
     dt = entries[0].dtype
-    ri = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    out = jnp.zeros((n, B), dt)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * len(bshape), 0)
+    out = jnp.zeros((n,) + bshape, dt)
     for i in range(n):
-        out = out + jnp.where(ri == i, 1.0, 0.0).astype(dt) * entries[i][None, :]
+        out = out + jnp.where(ri == i, 1.0, 0.0).astype(dt) * entries[i][None]
     return out
 
 
@@ -106,16 +106,20 @@ def so3_exp(w, terms=None):
         b = jnp.where(small, 0.5 - th_sq / 24.0, (1.0 - jnp.cos(th)) / jnp.where(small, 1.0, th_sq))
     W = hat(w)
     W2 = matmul3(W, W)
-    eye = _eye3(w.dtype, w.shape[-1])
+    eye = _eye3(w.dtype, w.shape[1:])
     if dfx.is_df(w):
         eye = dfx.opaque(eye)  # constant-folded identity breaks DF EFTs
     return eye + a[None, None, :] * W + b[None, None, :] * W2
 
 
 def _eye3(dt, B):
-    ri = jax.lax.broadcasted_iota(jnp.int32, (3, 3, 1), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (3, 3, 1), 1)
-    return jnp.where(ri == ci, 1.0, 0.0).astype(dt) * jnp.ones((1, 1, B), dt)
+    """``B``: trailing batch shape — an int (lane layout (3,3,B)) or a
+    tuple (e.g. the sublane-packed (3,3,S,L))."""
+    bshape = (B,) if isinstance(B, int) else tuple(B)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (3, 3) + (1,) * len(bshape), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (3, 3) + (1,) * len(bshape), 1)
+    return jnp.where(ri == ci, 1.0, 0.0).astype(dt) * \
+        jnp.ones((1, 1) + bshape, dt)
 
 
 def quat_from_matrix(R):
@@ -228,7 +232,7 @@ def so3_normalize_newton(R):
     rollout kernel whose body must stay under the remote compiler's
     primitive ceiling).  DF-polymorphic."""
     RtR = matmul3(transpose(R), R)
-    eye = _eye3(R.dtype, R.shape[-1])
+    eye = _eye3(R.dtype, R.shape[2:])
     if dfx.is_df(R):
         eye = dfx.opaque(eye)
     return 0.5 * matmul3(R, 3.0 * eye - RtR)
@@ -283,7 +287,7 @@ def so3_left_jacobian(w, terms=None):
     b, c = _jl_coeffs(th_sq, terms=terms)
     W = hat(w)
     W2 = matmul3(W, W)
-    eye = _eye3(w.dtype, w.shape[-1])
+    eye = _eye3(w.dtype, w.shape[1:])
     if dfx.is_df(w):
         eye = dfx.opaque(eye)  # constant-folded identity breaks DF EFTs
     return eye + b[None, None, :] * W + c[None, None, :] * W2
@@ -304,7 +308,7 @@ def so3_left_jacobian_inv(w, terms=None):
                       1.0 / th_sq_safe - jnp.cos(half) / (2.0 * th * jnp.sin(half)))
     W = hat(w)
     W2 = matmul3(W, W)
-    eye = _eye3(w.dtype, w.shape[-1])
+    eye = _eye3(w.dtype, w.shape[1:])
     if dfx.is_df(w):
         eye = dfx.opaque(eye)  # constant-folded identity breaks DF EFTs
     return eye - 0.5 * W + k[None, None, :] * W2

@@ -69,7 +69,7 @@ def stage_jacobian(R, xi, Jl, Jil, mg, *, dt, gravity, exact_grav):
     the reference's coad-swap quirk #1 (traopt_dynamics.py:819,832) and its
     gravity-Jacobian quirk #2 (no m*g factor unless ``exact_grav``,
     traopt_dynamics.py:1121-1134)."""
-    B = R.shape[-1]
+    bs = R.shape[2:]  # trailing batch dims: (B,) or (S, L)
     dtp = R.dtype
     w, v = xi[:3], xi[3:]
     tau = xi * dt
@@ -79,21 +79,21 @@ def stage_jacobian(R, xi, Jl, Jil, mg, *, dt, gravity, exact_grav):
     # coad(eta) = ad(eta)^T = [[-hat(ew), -hat(ev)], [0, -hat(ew)]],
     # applied to the [v, w]-SWAPPED twist (reference quirk #1)
     coad_sw = pll.blk(-pll.hat(v), -pll.hat(w),
-                      dfx.zeros((3, 3, B), dtp, like=v), -pll.hat(v))
-    Ibw = pll.matvec3(Jl[0:3, 0:3, :], w)
-    m = Jl[4, 4, :]
+                      dfx.zeros((3, 3) + bs, dtp, like=v), -pll.hat(v))
+    Ibw = pll.matvec3(Jl[0:3, 0:3], w)
+    m = Jl[4, 4]
     Gw = pll.hat(Ibw)
-    Gv = m[None, None, :] * pll.hat(v)
-    G = pll.blk(Gw, Gv, Gv, dfx.zeros((3, 3, B), dtp, like=Gv))
+    Gv = m[None, None] * pll.hat(v)
+    G = pll.blk(Gw, Gv, Gv, dfx.zeros((3, 3) + bs, dtp, like=Gv))
     H = pll.matmul(Jil, pll.matmul(coad_sw, Jl, 6) + G, 6)
-    eye6 = pll.blk(pll._eye3(dtp, B), jnp.zeros((3, 3, B), dtp),
-                   jnp.zeros((3, 3, B), dtp), pll._eye3(dtp, B))
+    eye6 = pll.blk(pll._eye3(dtp, bs), jnp.zeros((3, 3) + bs, dtp),
+                   jnp.zeros((3, 3) + bs, dtp), pll._eye3(dtp, bs))
     if gravity:
-        grow = -R[2] if not exact_grav else -(mg[0][None, :] * R[2])
-        Z3 = dfx.zeros((3, 3, B), dtp, like=R)
+        grow = -R[2] if not exact_grav else -(mg[0][None] * R[2])
+        Z3 = dfx.zeros((3, 3) + bs, dtp, like=R)
         J_xi_q = pll.matmul(Jil, pll.blk(Z3, Z3, pll.hat(grow), Z3), 6) * dt
     else:
-        J_xi_q = dfx.zeros((6, 6, B), dtp, like=R)
+        J_xi_q = dfx.zeros((6, 6) + bs, dtp, like=R)
     return pll.blk(J_q_q, J_q_xi, J_xi_q, eye6 + H * dt)
 
 
@@ -102,7 +102,7 @@ def stage_cost_quad(R, p, xi, RbiR, Rbip, Adb, xib, W1, W2):
     e = Log(q q_ref^-1), J_e_x = Jr^-1(e) Ad_ref; returns (lx (12,B),
     lxx (12,12,B), l (B,)).  Also the terminal quadratization with (P1, P2)
     weights (the Riccati kernel's carry init)."""
-    B = R.shape[-1]
+    bs = R.shape[2:]  # trailing batch dims: (B,) or (S, L)
     dtp = R.dtype
     Reb, peb = pll.se3_compose(R, p, RbiR, Rbip)
     e = pll.se3_log(Reb, peb)
@@ -113,8 +113,8 @@ def stage_cost_quad(R, p, xi, RbiR, Rbip, Adb, xib, W1, W2):
     W2ev = pll.matvec(W2, ev, 6)
     lx = dfx.concatenate([pll.matvec(JT2, W1e, 6), 2.0 * W2ev], axis=0)
     H_e = pll.matmul(pll.matmul(JT2, W1, 6), Jex, 6)
-    lxx = pll.blk(H_e, dfx.zeros((6, 6, B), dtp, like=H_e),
-                  dfx.zeros((6, 6, B), dtp, like=H_e), 2.0 * W2)
+    lxx = pll.blk(H_e, dfx.zeros((6, 6) + bs, dtp, like=H_e),
+                  dfx.zeros((6, 6) + bs, dtp, like=H_e), 2.0 * W2)
     l_val = (sum(e[i] * W1e[i] for i in range(6))
              + sum(ev[i] * W2ev[i] for i in range(6)))
     return lx, lxx, l_val

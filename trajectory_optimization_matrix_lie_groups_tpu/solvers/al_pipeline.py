@@ -76,7 +76,7 @@ class ALPipelineSolver:
                 N=p.N, iterations=warm_iters, dt=p.dt,
                 interpret=p.interpret, batch_tile=p.batch_tile,
                 gravity=p.gravity, exact_gravity_jacobian=p.exact_grav,
-                stage_chunk=p.stage_chunk, fused=p.fused)
+                stage_chunk=p.stage_chunk, fused=p.fused, sublanes=p.S)
         return self._warm
 
     def solve(self, dyn, cost, q0s, xi0s, us0, n_al_iters=10,
@@ -163,6 +163,13 @@ def al_polish(mx, params64, lb, ub, res, q0s, xi0s, n_outers=2,
     controls in float64 (fallback applied) and the final polish
     state/multipliers.
     """
+    if n_outers < 1:
+        raise ValueError("n_outers must be >= 1")
+    if res.imu is None:
+        raise ValueError(
+            "res.imu is None: al_polish needs the active-set penalties from "
+            "an ALPipelineSolver.solve result (imu field); results built "
+            "without it cannot seed the fixed-multiplier DF inner")
     nu = np.shape(res.us)[-1]
     lbv = np.broadcast_to(np.asarray(lb, np.float64), (nu,))
     ubv = np.broadcast_to(np.asarray(ub, np.float64), (nu,))

@@ -644,7 +644,7 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         B = lu.hi.shape[-1]
         nu = lu.hi.shape[-2]
         dtp = jnp.float32
-        nb, bt = self.base._tiles(B)
+        nb, bt = self._df_tiles(B)
         ck = self.base.stage_chunk
         nc = N // ck
 
@@ -704,7 +704,7 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         N = self.N
         B = qR.hi.shape[-1]
         dtp = jnp.float32
-        nb, bt = self.base._tiles(B)
+        nb, bt = self._df_tiles(B)
         # chunk=1 always: these kernels carry no recursion state (chunking
         # only amortizes grid overhead) and their DF bodies are 7k-16k
         # primitives EACH — chunk=4 would put every body 3x past the
@@ -849,7 +849,7 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         B = us.hi.shape[-1]
         nu = us.hi.shape[-2]
         dtp = jnp.float32
-        nb, bt = self.base._tiles(B)
+        nb, bt = self._df_tiles(B)
         ck = 1  # 13k-primitive body; chunk>1 would pass the compiler ceiling
 
         def spec(a):

@@ -126,23 +126,42 @@ class DFPipelineSolver:
     def __init__(self, N: int, dt: float, f32_iterations: int = 12,
                  df_iterations: int = 3, batch_tile: int = None,
                  gravity: bool = False, exact_gravity_jacobian: bool = False,
-                 stage_chunk: int = 1, interpret: bool = False):
+                 stage_chunk: int = 1, interpret: bool = False,
+                 sublanes: int = 1, df_batch_tile: int = None):
+        """``sublanes``: sublane-packed f32 phase (pipeline.py ``sublanes``;
+        lane state is unpacked once at the f32->DF phase boundary, so the
+        polish phase is layout-unchanged).  ``df_batch_tile``: batch tile
+        for the polish-phase kernels (df_mixed kernel_polish) — defaults to
+        ``batch_tile``, except 256 when the f32 phase is sublane-packed
+        (whose tile must be >= 1024 to fill the lane axis; the DF kernels'
+        2x-sized blocks would blow VMEM at that tile)."""
         self.N = N
         self.dt = float(dt)
         self.f32_iterations = f32_iterations
         self.df_iterations = df_iterations
         self.gravity = gravity
         self.exact_grav = exact_gravity_jacobian
+        if df_batch_tile is None:
+            df_batch_tile = batch_tile if sublanes == 1 else \
+                (256 if batch_tile is None else min(batch_tile, 256))
+        self.df_batch_tile = df_batch_tile
         self.base = PallasPipelineSolver(
             N=N, iterations=f32_iterations, dt=dt, interpret=interpret,
             batch_tile=batch_tile, gravity=gravity,
             exact_gravity_jacobian=exact_gravity_jacobian,
-            stage_chunk=stage_chunk, fused=True)
+            stage_chunk=stage_chunk, fused=True, sublanes=sublanes)
         # two separate jits: XLA compile cost is superlinear in module size
         # for these graphs (the DF phase alone is ~100k primitives), so one
         # combined module compiles far slower than the sum of its phases
         self._f32_jit = jax.jit(self._solve_f32)
         self._df_jit = jax.jit(self._solve_df)
+
+    def _df_tiles(self, B):
+        """(n_tiles, tile) for the polish-phase kernels (lane layout)."""
+        bt = B if self.df_batch_tile is None else self.df_batch_tile
+        if B % bt:
+            raise ValueError(f"batch {B} not divisible by df_batch_tile {bt}")
+        return B // bt, bt
 
     # -- DF phase pieces (plain XLA, lane layout) --------------------------
 
@@ -274,10 +293,14 @@ class DFPipelineSolver:
         dtp = jnp.float32
         dyn, cost = sp["dyn"], sp["cost"]
         nu = us0.shape[-1]
+        # sublane-packed base (pipeline.py ``sublanes``): run the whole f32
+        # phase in the packed layout, unpack once at the phase boundary
+        pk = self.base._pack
+        nbd = 1 if self.base.S == 1 else 2
 
         # ---- phase-1 (f32) data: hi parts reproduce the plain f32 path ----
         hi = lambda x: x[0]
-        lanes = lambda M: jnp.broadcast_to(M[..., None], M.shape + (B,))
+        lanes = lambda M: pk(jnp.broadcast_to(M[..., None], M.shape + (B,)))
         Pu2 = dyn.Pu if hasattr(dyn, "Pu") else _split_np(np.eye(6))
         Pu2 = jnp.asarray(Pu2, dtp)
         if self.gravity:
@@ -292,10 +315,10 @@ class DFPipelineSolver:
             Jl=lanes(hi(dyn.J)), Jil=lanes(hi(dyn.Jinv)),
             W1=lanes(hi(cost.Q1)), W2=lanes(hi(cost.Q2)),
             Fu=lanes(Fu_hi), Luu=lanes(2.0 * hi(cost.R)),
-            Pu=lanes(hi(Pu2)), mg=jnp.broadcast_to(mg2[0], (1, B)),
+            Pu=lanes(hi(Pu2)), mg=pk(jnp.broadcast_to(mg2[0], (1, B))),
         )
-        ref32 = lambda x: jnp.moveaxis(jnp.broadcast_to(
-            x[:, None], (x.shape[0], B) + x.shape[1:]), 1, -1)
+        ref32 = lambda x: pk(jnp.moveaxis(jnp.broadcast_to(
+            x[:, None], (x.shape[0], B) + x.shape[1:]), 1, -1))
         qri_hi = hi(cost.q_ref_inv)
         refs32 = dict(
             RbiR=ref32(qri_hi[:-1, :3, :3]),
@@ -321,23 +344,24 @@ class DFPipelineSolver:
         xi = jnp.concatenate([jnp.moveaxis(xi0s[None], 1, -1),
                               jnp.moveaxis(xi_ref_b, 1, -1)], axis=0)
         us = jnp.moveaxis(us0, 0, -1)  # (N, nu, B)
+        qR, qp, xi, us = pk(qR), pk(qp), pk(xi), pk(us)
 
         R32 = hi(cost.R)
         if al is not None:
             lb_a, ub_a, lmbd_a, imu_a = al
-            lam_l = jnp.moveaxis(lmbd_a, 0, -1).astype(dtp)  # (N+1, 2nu, B)
-            imu_l = jnp.moveaxis(imu_a, 0, -1).astype(dtp)
+            lam_l = pk(jnp.moveaxis(lmbd_a, 0, -1).astype(dtp))
+            imu_l = pk(jnp.moveaxis(imu_a, 0, -1).astype(dtp))
             lam_lo, lam_hi = lam_l[:-1, :nu], lam_l[:-1, nu:]
             im_lo, im_hi = imu_l[:-1, :nu], imu_l[:-1, nu:]
-            lb32 = jnp.asarray(lb_a, dtp)[None, :, None]
-            ub32 = jnp.asarray(ub_a, dtp)[None, :, None]
+            lb32 = jnp.asarray(lb_a, dtp).reshape((1, nu) + (1,) * nbd)
+            ub32 = jnp.asarray(ub_a, dtp).reshape((1, nu) + (1,) * nbd)
             luu_al = im_lo + im_hi
         else:
             luu_al = None
 
         def f32_body(_, carry):
             qR, qp, xi, us, lin = carry
-            lu = 2.0 * jnp.einsum("ij,njb->nib", R32, us)
+            lu = 2.0 * jnp.einsum("ij,nj...->ni...", R32, us)
             if al is not None:
                 glo = lb32 - us
                 ghi = us - ub32
@@ -352,7 +376,8 @@ class DFPipelineSolver:
         lin0 = self.base._linearize_lane(qR, qp, xi, us, refs32, consts32)
         qR, qp, xi, us, _ = lax.fori_loop(
             0, self.f32_iterations, f32_body, (qR, qp, xi, us, lin0))
-        return qR, qp, xi, us
+        upk = self.base._unpack
+        return upk(qR), upk(qp), upk(xi), upk(us)
 
     def _df_setup(self, sp, B):
         """Lane-layout DF constants/references shared by the full-DF and

@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -94,7 +95,8 @@ def chol_solve_lane(L, Bm, nu):
         for kk in range(i2 + 1, nu):
             sv = sv - L[kk][i2][None, :] * X[kk]
         X[i2] = sv / L[i2][i2][None, :]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nu, 1, 1), 0)
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (nu,) + (1,) * (len(Bm.shape) - 1), 0)
     if dfx.is_df(Bm):
         # row placement into the output is plain masking — assemble the hi
         # and lo planes without DF arithmetic
@@ -103,12 +105,12 @@ def chol_solve_lane(L, Bm, nu):
         out_lo = jnp.zeros_like(Bm.lo)
         for i2 in range(nu):
             oh = (rows == i2).astype(Bm.dtype)
-            out_hi = out_hi + oh * Xp[i2].hi[None, :, :]
-            out_lo = out_lo + oh * Xp[i2].lo[None, :, :]
+            out_hi = out_hi + oh * Xp[i2].hi[None]
+            out_lo = out_lo + oh * Xp[i2].lo[None]
         return dfx.DF(out_hi, out_lo)
     out = jnp.zeros_like(Bm)
     for i2 in range(nu):
-        out = out + (rows == i2).astype(Bm.dtype) * X[i2][None, :, :]
+        out = out + (rows == i2).astype(Bm.dtype) * X[i2][None]
     return out
 
 
@@ -152,10 +154,11 @@ def riccati_stage(fx, dd, lx_t, lu_t, lxx_t, fu2, fu2T, Luu, Vx, Vxx,
                            pll.matmul(Vxx[h:, h:], fu2, h), h)
     if luual_t is not None:
         # diagonal AL penalty add via a one-hot mask (Mosaic: no scatter)
-        r_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 0)
-        c_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 1)
+        nb1 = (1,) * (len(Quu.shape) - 2)
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu) + nb1, 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu) + nb1, 1)
         eye = (r_i == c_i).astype(Quu.dtype)
-        Quu = Quu + eye * luual_t[:, None, :]
+        Quu = Quu + eye * luual_t[:, None]
 
     L = chol_factor_lane(Quu, nu)
     K = -chol_solve_lane(L, Qux, nu)
@@ -368,7 +371,8 @@ class PallasPipelineSolver:
     def __init__(self, N: int, iterations: int, dt: float,
                  interpret: bool = False, batch_tile: int = None,
                  gravity: bool = False, exact_gravity_jacobian: bool = False,
-                 stage_chunk: int = 1, fused: bool = True):
+                 stage_chunk: int = 1, fused: bool = True,
+                 sublanes: int = 1):
         """``batch_tile`` (divides B): lanes per kernel grid step.  Kernels
         run on a (B // batch_tile, N) grid so VMEM holds one tile's blocks
         instead of the whole batch — required for B > ~512 at f32.
@@ -385,7 +389,18 @@ class PallasPipelineSolver:
         ``fused``: run each iteration's rollout fused with the NEXT
         iteration's stage linearization (one combined kernel; the rollout's
         dynamics eval is the linearizer's) — 2 kernels per iteration instead
-        of 3.  Iterates are identical; set False for the 3-kernel layout."""
+        of 3.  Iterates are identical; set False for the 3-kernel layout.
+
+        ``sublanes`` (S, 1 or 8): S > 1 packs the batch over BOTH vreg axes
+        — arrays carry trailing (S, bt/S) instead of (bt,), so every VPU op
+        in the kernels is a dense (8, 128) vreg instead of a (d, bt) slice
+        at d/8 sublane utilization (d = 1..12 for this stage math).  The
+        round-5 answer to the 21%-of-HBM-roofline finding (records
+        name=roofline_f32_df): the pipeline is VPU-issue-bound, and sublane
+        packing raises per-instruction density ~8x on the scalar-slice
+        chains (Cholesky) and ~1.3x on row ops.  Iterates are identical to
+        the lane layout (same math, same order) up to batch permutation:
+        batch element b maps to (s, l) = divmod-by-(bt/S) WITHIN each tile."""
         self.N = N
         self.iterations = iterations
         self.dt = float(dt)
@@ -394,6 +409,9 @@ class PallasPipelineSolver:
         self.fused = fused
         self.gravity = gravity
         self.exact_grav = exact_gravity_jacobian
+        if sublanes not in (1, 8):
+            raise ValueError(f"sublanes must be 1 or 8, got {sublanes}")
+        self.S = sublanes
         if N % stage_chunk:
             raise ValueError(f"horizon {N} not divisible by stage_chunk "
                              f"{stage_chunk}")
@@ -404,46 +422,94 @@ class PallasPipelineSolver:
         bt = B if self.batch_tile is None else self.batch_tile
         if B % bt:
             raise ValueError(f"batch {B} not divisible by batch_tile {bt}")
+        if bt % self.S:
+            raise ValueError(f"batch_tile {bt} not divisible by sublanes "
+                             f"{self.S}")
         return B // bt, bt
 
+    # batch packing: (..., B) <-> (..., S, B // S).  Within a lane tile the
+    # batch is laid out tile-major: global element b of tile k sits at
+    # (s, l) = divmod(b, bt // S) of that tile's (S, btL) block, so the HBM
+    # array is (..., S, nb * btL) with tiles contiguous per sublane row.
+    def _pack(self, x):
+        if self.S == 1:
+            return x
+        B = x.shape[-1]
+        nb, bt = self._tiles(B)
+        btL = bt // self.S
+        y = x.reshape(x.shape[:-1] + (nb, self.S, btL))
+        y = jnp.swapaxes(y, -3, -2)  # (..., S, nb, btL)
+        return y.reshape(x.shape[:-1] + (self.S, nb * btL))
+
+    def _unpack(self, x):
+        if self.S == 1:
+            return x
+        L = x.shape[-1]
+        btL = (self.batch_tile or (self.S * L)) // self.S
+        nb = L // btL
+        y = x.reshape(x.shape[:-2] + (self.S, nb, btL))
+        y = jnp.swapaxes(y, -3, -2)  # (..., nb, S, btL)
+        return y.reshape(x.shape[:-2] + (self.S * L,))
+
     # kernels operating purely in lane layout ------------------------------
+
+    def _bshape(self, B):
+        """Trailing batch dims of a kernel-side array holding B problems."""
+        return (B,) if self.S == 1 else (self.S, B // self.S)
+
+    def _gspec(self, a, bt, ck, nc=None):
+        """Gridded spec: stage blocks of ``ck`` x one (S, bt/S) batch tile.
+        ``nc``: if given, grid dim 1 walks stages in REVERSE (backward)."""
+        S = self.S
+        r = len(a.shape)
+        st = (lambda i: i) if nc is None else (lambda i: nc - 1 - i)
+        if S == 1:
+            return pl.BlockSpec(
+                (ck,) + a.shape[1:-1] + (bt,),
+                lambda b, i, r=r: (st(i),) + (0,) * (r - 2) + (b,))
+        return pl.BlockSpec(
+            (ck,) + a.shape[1:-2] + (S, bt // S),
+            lambda b, i, r=r: (st(i),) + (0,) * (r - 3) + (0, b))
+
+    def _cspec(self, a, bt):
+        """Non-gridded (constant / terminal) spec: one batch tile."""
+        S = self.S
+        r = len(a.shape)
+        if S == 1:
+            return pl.BlockSpec(a.shape[:-1] + (bt,),
+                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+        return pl.BlockSpec(a.shape[:-2] + (S, bt // S),
+                            lambda b, i, r=r: (0,) * (r - 2) + (0, b))
 
     def _linearize_lane(self, qR, qp, xi, us, refs, consts):
         N = self.N
         dtp = us.dtype
-        B = us.shape[-1]
+        B = us.shape[-1] if self.S == 1 else us.shape[-2] * us.shape[-1]
         nb, bt = self._tiles(B)
         ck = self.stage_chunk
+        bsh = self._bshape(B)
         args = dict(
             qR=qR[:-1], qp=qp[:-1], qRn=qR[1:], qpn=qp[1:],
             xi=xi[:-1], xin=xi[1:], u=us,
             RbiR=refs["RbiR"], Rbip=refs["Rbip"], Adb=refs["Adb"],
             xib=refs["xib"],
         )
-
-        def spec(a):
-            r = len(a.shape)
-            return pl.BlockSpec((ck,) + a.shape[1:-1] + (bt,),
-                                lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
-
-        def cspec(a):
-            r = len(a.shape)
-            return pl.BlockSpec(a.shape[:-1] + (bt,),
-                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+        spec = lambda a: self._gspec(a, bt, ck)
+        cspec = lambda a: self._cspec(a, bt)
 
         in_specs = [spec(a) for a in args.values()] + \
             [cspec(consts["Jl"]), cspec(consts["Jil"]),
              cspec(consts["W1"]), cspec(consts["W2"]),
              cspec(consts["Pu"]), cspec(consts["mg"])]
         out_shapes = (
-            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),
-            jax.ShapeDtypeStruct((N, 3, B), dtp),
-            jax.ShapeDtypeStruct((N, 6, B), dtp),
-            jax.ShapeDtypeStruct((N, 12, B), dtp),
-            jax.ShapeDtypeStruct((N, 12, 12, B), dtp),
-            jax.ShapeDtypeStruct((N, 12, B), dtp),
-            jax.ShapeDtypeStruct((N, 12, 12, B), dtp),
-            jax.ShapeDtypeStruct((N, 1, B), dtp),
+            jax.ShapeDtypeStruct((N, 3, 3) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, 3) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, 6) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, 12) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, 12, 12) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, 12) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, 12, 12) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, 1) + bsh, dtp),
         )
         out_specs = tuple(spec(s) for s in out_shapes)
         kernel = functools.partial(_linearize_kernel, dt=self.dt,
@@ -465,23 +531,17 @@ class PallasPipelineSolver:
         (input-box AL penalty)."""
         N = self.N
         dtp = lu.dtype
-        B = lu.shape[-1]
-        nu = lu.shape[-2]
+        nbd = 1 if self.S == 1 else 2
+        B = int(np.prod(lu.shape[-nbd:]))
+        nu = lu.shape[-nbd - 1]
         nb, bt = self._tiles(B)
         ck = self.stage_chunk
         nc = N // ck
+        bsh = self._bshape(B)
+        tsh = self._bshape(bt)
 
-        def spec(a):
-            # backward recursion: grid step i processes stage chunk nc-1-i
-            r = len(a.shape)
-            return pl.BlockSpec(
-                (ck,) + a.shape[1:-1] + (bt,),
-                lambda b, i, r=r: (nc - 1 - i,) + (0,) * (r - 2) + (b,))
-
-        def cspec(a):
-            r = len(a.shape)
-            return pl.BlockSpec(a.shape[:-1] + (bt,),
-                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+        spec = lambda a: self._gspec(a, bt, ck, nc=nc)
+        cspec = lambda a: self._cspec(a, bt)
 
         ins = [lin["Fx"], lin["d"], lin["lx"], lu, lin["lxx"]]
         if luu_al is not None:
@@ -490,20 +550,20 @@ class PallasPipelineSolver:
             [cspec(a) for a in term] + \
             [cspec(consts["Fu"]), cspec(consts["Luu"])]
         out_shapes = (
-            jax.ShapeDtypeStruct((N, nu, B), dtp),
-            jax.ShapeDtypeStruct((N, nu, NX, B), dtp),
-            jax.ShapeDtypeStruct((N, nu, B), dtp),
-            jax.ShapeDtypeStruct((1, 1, B), dtp),
+            jax.ShapeDtypeStruct((N, nu) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, nu, NX) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, nu) + bsh, dtp),
+            jax.ShapeDtypeStruct((1, 1) + bsh, dtp),
         )
         out_specs = tuple(spec(s) for s in out_shapes[:3]) + \
-            (pl.BlockSpec((1, 1, bt), lambda b, i: (0, 0, b)),)
+            (self._cspec(out_shapes[3], bt),)
         k, K, gvec, lN = pl.pallas_call(
             functools.partial(_riccati_kernel_const, nu=nu, chunk=ck,
                               glow=self.gravity, al=luu_al is not None),
             grid=(nb, nc), out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((NX, bt), dtp),
-                            pltpu.VMEM((NX, NX, bt), dtp)],
+            scratch_shapes=[pltpu.VMEM((NX,) + tsh, dtp),
+                            pltpu.VMEM((NX, NX) + tsh, dtp)],
             interpret=self.interpret,
             compiler_params=None if self.interpret else _DIMSEM,
         )(*ins, *term, consts["Fu"], consts["Luu"])
@@ -512,20 +572,16 @@ class PallasPipelineSolver:
     def _rollout_lane(self, qR, qp, xi, us, k, K, lin, consts):
         N = self.N
         dtp = us.dtype
-        B = us.shape[-1]
-        nu = us.shape[-2]
+        nbd = 1 if self.S == 1 else 2
+        B = int(np.prod(us.shape[-nbd:]))
+        nu = us.shape[-nbd - 1]
         nb, bt = self._tiles(B)
         ck = self.stage_chunk
+        bsh = self._bshape(B)
+        tsh = self._bshape(bt)
 
-        def spec(a):
-            r = len(a.shape)
-            return pl.BlockSpec((ck,) + a.shape[1:-1] + (bt,),
-                                lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
-
-        def cspec(a):
-            r = len(a.shape)
-            return pl.BlockSpec(a.shape[:-1] + (bt,),
-                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+        spec = lambda a: self._gspec(a, bt, ck)
+        cspec = lambda a: self._cspec(a, bt)
 
         ins = [qR[:-1], qp[:-1], qR[1:], qp[1:], xi[:-1], xi[1:], us, k, K,
                lin["d"], lin["fqR"], lin["fqp"], lin["fxi"]]
@@ -533,10 +589,10 @@ class PallasPipelineSolver:
             [cspec(consts["Jl"]), cspec(consts["Jil"]),
              cspec(consts["Pu"]), cspec(consts["mg"])]
         out_shapes = (
-            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),
-            jax.ShapeDtypeStruct((N, 3, B), dtp),
-            jax.ShapeDtypeStruct((N, 6, B), dtp),
-            jax.ShapeDtypeStruct((N, nu, B), dtp),
+            jax.ShapeDtypeStruct((N, 3, 3) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, 3) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, 6) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, nu) + bsh, dtp),
         )
         out_specs = tuple(spec(s) for s in out_shapes)
         kernel = functools.partial(_rollout_kernel_lane, dt=self.dt,
@@ -544,9 +600,9 @@ class PallasPipelineSolver:
         oR, op, oxi, ou = pl.pallas_call(
             kernel, grid=(nb, N // ck), out_shape=out_shapes, in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((3, 3, bt), dtp),
-                            pltpu.VMEM((3, bt), dtp),
-                            pltpu.VMEM((6, bt), dtp)],
+            scratch_shapes=[pltpu.VMEM((3, 3) + tsh, dtp),
+                            pltpu.VMEM((3,) + tsh, dtp),
+                            pltpu.VMEM((6,) + tsh, dtp)],
             interpret=self.interpret,
             compiler_params=None if self.interpret else _DIMSEM,
         )(*ins, consts["Jl"], consts["Jil"], consts["Pu"], consts["mg"])
@@ -560,20 +616,16 @@ class PallasPipelineSolver:
         """Fused rollout + next-iteration linearization (see the kernel)."""
         N = self.N
         dtp = us.dtype
-        B = us.shape[-1]
-        nu = us.shape[-2]
+        nbd = 1 if self.S == 1 else 2
+        B = int(np.prod(us.shape[-nbd:]))
+        nu = us.shape[-nbd - 1]
         nb, bt = self._tiles(B)
         ck = self.stage_chunk
+        bsh = self._bshape(B)
+        tsh = self._bshape(bt)
 
-        def spec(a):
-            r = len(a.shape)
-            return pl.BlockSpec((ck,) + a.shape[1:-1] + (bt,),
-                                lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
-
-        def cspec(a):
-            r = len(a.shape)
-            return pl.BlockSpec(a.shape[:-1] + (bt,),
-                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+        spec = lambda a: self._gspec(a, bt, ck)
+        cspec = lambda a: self._cspec(a, bt)
 
         ins = [qR[:-1], qp[:-1], qR[1:], qp[1:], xi[:-1], xi[1:], us, k, K,
                lin["d"], lin["fqR"], lin["fqp"], lin["fxi"],
@@ -582,18 +634,18 @@ class PallasPipelineSolver:
                      consts["W2"], consts["Pu"], consts["mg"]]
         in_specs = [spec(a) for a in ins] + [cspec(a) for a in consts_in]
         out_shapes = (
-            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),   # oR
-            jax.ShapeDtypeStruct((N, 3, B), dtp),      # op
-            jax.ShapeDtypeStruct((N, 6, B), dtp),      # oxi
-            jax.ShapeDtypeStruct((N, nu, B), dtp),     # ou
-            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),   # nfqR
-            jax.ShapeDtypeStruct((N, 3, B), dtp),      # nfqp
-            jax.ShapeDtypeStruct((N, 6, B), dtp),      # nfxi
-            jax.ShapeDtypeStruct((N, 12, B), dtp),     # nd
-            jax.ShapeDtypeStruct((N, 12, 12, B), dtp),  # nFx
-            jax.ShapeDtypeStruct((N, 12, B), dtp),     # nlx
-            jax.ShapeDtypeStruct((N, 12, 12, B), dtp),  # nlxx
-            jax.ShapeDtypeStruct((N, 1, B), dtp),      # nl
+            jax.ShapeDtypeStruct((N, 3, 3) + bsh, dtp),   # oR
+            jax.ShapeDtypeStruct((N, 3) + bsh, dtp),      # op
+            jax.ShapeDtypeStruct((N, 6) + bsh, dtp),      # oxi
+            jax.ShapeDtypeStruct((N, nu) + bsh, dtp),     # ou
+            jax.ShapeDtypeStruct((N, 3, 3) + bsh, dtp),   # nfqR
+            jax.ShapeDtypeStruct((N, 3) + bsh, dtp),      # nfqp
+            jax.ShapeDtypeStruct((N, 6) + bsh, dtp),      # nfxi
+            jax.ShapeDtypeStruct((N, 12) + bsh, dtp),     # nd
+            jax.ShapeDtypeStruct((N, 12, 12) + bsh, dtp),  # nFx
+            jax.ShapeDtypeStruct((N, 12) + bsh, dtp),     # nlx
+            jax.ShapeDtypeStruct((N, 12, 12) + bsh, dtp),  # nlxx
+            jax.ShapeDtypeStruct((N, 1) + bsh, dtp),      # nl
         )
         out_specs = tuple(spec(s) for s in out_shapes)
         kernel = functools.partial(_rollout_linearize_kernel, dt=self.dt,
@@ -603,9 +655,9 @@ class PallasPipelineSolver:
          nl) = pl.pallas_call(
             kernel, grid=(nb, N // ck), out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((3, 3, bt), dtp),
-                            pltpu.VMEM((3, bt), dtp),
-                            pltpu.VMEM((6, bt), dtp)],
+            scratch_shapes=[pltpu.VMEM((3, 3) + tsh, dtp),
+                            pltpu.VMEM((3,) + tsh, dtp),
+                            pltpu.VMEM((6,) + tsh, dtp)],
             interpret=self.interpret,
             compiler_params=None if self.interpret else _DIMSEM,
         )(*ins, *consts_in)
@@ -677,18 +729,26 @@ class PallasPipelineSolver:
         B = q0s.shape[0]
         N = self.N
         dtp = us0.dtype
+        pk = self._pack
+        nbd = 1 if self.S == 1 else 2
+        bsh = self._bshape(B)
         qR, qp, xi, us, refs, consts = self._prepare(dyn, cost, q0s, xi0s, us0)
+        if self.S > 1:
+            qR, qp, xi, us = pk(qR), pk(qp), pk(xi), pk(us)
+            refs = {k_: pk(v) for k_, v in refs.items()}
+            consts = {k_: pk(v) for k_, v in consts.items()}
         if al is not None:
             lb_a, ub_a, lmbd_a, imu_a = al
-            lam_l = jnp.moveaxis(lmbd_a, 0, -1)  # (N+1, 2nu, B)
-            imu_l = jnp.moveaxis(imu_a, 0, -1)
+            lam_l = pk(jnp.moveaxis(lmbd_a, 0, -1))  # (N+1, 2nu, B...)
+            imu_l = pk(jnp.moveaxis(imu_a, 0, -1))
             nu = us0.shape[-1]
             al = (jnp.asarray(lb_a, dtp), jnp.asarray(ub_a, dtp),
                   lam_l.astype(dtp), imu_l.astype(dtp), nu)
-        lanes66 = lambda M: jnp.broadcast_to(
-            jnp.asarray(M, dtp)[..., None], jnp.asarray(M).shape + (B,))
-        ref = lambda x: jnp.moveaxis(
-            jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:]), 1, -1)
+        lanes66 = lambda M: pk(jnp.broadcast_to(
+            jnp.asarray(M, dtp)[..., None], jnp.asarray(M).shape + (B,)))
+        ref = lambda x: pk(jnp.moveaxis(
+            jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:]),
+            1, -1))
 
         # constant lane-layout terminal references (the state parts of the
         # terminal quadratization are rebuilt per iteration in-kernel)
@@ -700,15 +760,16 @@ class PallasPipelineSolver:
         W2N = lanes66(cost.P2)
 
         def backward_metrics(qR, qp, xi, us, lin):
-            lu = 2.0 * jnp.einsum("ij,njb->nib", cost.R.astype(dtp), us)
+            lu = 2.0 * jnp.einsum("ij,nj...->ni...", cost.R.astype(dtp), us)
             luu_al = None
-            J_al = jnp.zeros((B,), dtp)
+            J_al = jnp.zeros(bsh, dtp)
             if al is not None:
                 lb_a, ub_a, lam_l, imu_l, nu = al
+                bx = lambda v: v.reshape((1, -1) + (1,) * nbd)
                 lam_lo, lam_hi = lam_l[:-1, :nu], lam_l[:-1, nu:]
                 im_lo, im_hi = imu_l[:-1, :nu], imu_l[:-1, nu:]
-                glo = lb_a[None, :, None] - us
-                ghi = us - ub_a[None, :, None]
+                glo = bx(lb_a) - us
+                ghi = us - bx(ub_a)
                 lu = lu - (lam_lo + im_lo * glo) + (lam_hi + im_hi * ghi)
                 luu_al = im_lo + im_hi
                 J_al = jnp.sum(
@@ -721,9 +782,9 @@ class PallasPipelineSolver:
                                                  luu_al=luu_al)
             # gvec_t = lu + Fu^T (V_x[t+1] + V_xx[t+1] d[t]) from the kernel
             g = jnp.mean(jnp.sqrt(jnp.sum(gvec * gvec, axis=1)), axis=0)
-            J = jnp.sum(lin["l"][:, 0, :], axis=0) + \
-                jnp.einsum("nib,ij,njb->b", us, cost.R.astype(dtp), us) + \
-                lN + J_al
+            J = jnp.sum(lin["l"][:, 0], axis=0) + \
+                jnp.einsum("ni...,ij,nj...->...", us, cost.R.astype(dtp),
+                           us) + lN + J_al
             return k, K, J, g
 
         if self.fused:
@@ -737,8 +798,8 @@ class PallasPipelineSolver:
                 return qR, qp, xi, us, lin, J, g
 
             lin0 = self._linearize_lane(qR, qp, xi, us, refs, consts)
-            init = (qR, qp, xi, us, lin0, jnp.full((B,), jnp.inf, dtp),
-                    jnp.full((B,), jnp.inf, dtp))
+            init = (qR, qp, xi, us, lin0, jnp.full(bsh, jnp.inf, dtp),
+                    jnp.full(bsh, jnp.inf, dtp))
             qR, qp, xi, us, _, J, g = lax.fori_loop(
                 0, self.iterations, body, init)
         else:
@@ -750,19 +811,21 @@ class PallasPipelineSolver:
                                                     lin, consts)
                 return qR, qp, xi, us, J, g
 
-            init = (qR, qp, xi, us, jnp.full((B,), jnp.inf, dtp),
-                    jnp.full((B,), jnp.inf, dtp))
+            init = (qR, qp, xi, us, jnp.full(bsh, jnp.inf, dtp),
+                    jnp.full(bsh, jnp.inf, dtp))
             qR, qp, xi, us, J, g = lax.fori_loop(
                 0, self.iterations, body, init)
 
         # back to solver layout
-        bk = lambda x: jnp.moveaxis(x, -1, 0)
+        upk = self._unpack
+        bk = lambda x: jnp.moveaxis(upk(x), -1, 0)
         qs = jnp.zeros((B, N + 1, 4, 4), dtp)
         qs = qs.at[:, :, :3, :3].set(bk(qR))
         qs = qs.at[:, :, :3, 3].set(bk(qp))
         qs = qs.at[:, :, 3, 3].set(1.0)
-        return PipelineState(qs=qs, xis=bk(xi), us=bk(us), J_opt=J,
-                             grad_norm=g)
+        return PipelineState(qs=qs, xis=bk(xi), us=bk(us),
+                             J_opt=upk(J) if self.S > 1 else J,
+                             grad_norm=upk(g) if self.S > 1 else g)
 
     def solve(self, dyn, cost, q0s, xi0s, us0, al=None):
         return self._solve_jit(dyn, cost, jnp.asarray(q0s), jnp.asarray(xi0s),
