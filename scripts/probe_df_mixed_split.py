@@ -47,7 +47,8 @@ xi0_anchor = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_xi0.npy"))
 mx = MixedDFPipelineSolver(N=bench.HORIZON, dt=float(prob["dt"]),
                            f32_iterations=bench.ITERS, df_iterations=2,
                            batch_tile=min(bench.BATCH_TILE, B),
-                           stage_chunk=bench.STAGE_CHUNK)
+                           stage_chunk=bench.STAGE_CHUNK,
+                           sublanes=bench.SUBLANES)
 sp = split_pytree(params64)
 
 

@@ -113,10 +113,13 @@ q0_pkl = jnp.asarray(np.asarray(data["prob"]["x0"][0]), jnp.float32)
 xi0_pkl = jnp.asarray(
     np.asarray(data["prob"]["x0"][1]).reshape(6), jnp.float32)
 
+SUBLANES = int(os.environ.get("SUBLANES", "8"))
+tile = min(1024, B) if SUBLANES == 8 else min(256, B)
 mx = MixedDFPipelineSolver(
     N=N, dt=float(dp.dt), f32_iterations=F32_ITERS, df_iterations=DF_ITERS,
-    batch_tile=min(256, B), stage_chunk=chunk, gravity=True,
-    exact_gravity_jacobian=bool(dp.exact_gravity_jacobian))
+    batch_tile=tile, stage_chunk=chunk, gravity=True,
+    exact_gravity_jacobian=bool(dp.exact_gravity_jacobian),
+    sublanes=SUBLANES)
 
 
 def mk(seed):
@@ -157,6 +160,7 @@ us = join_us(out)
 err = float(np.max(np.abs(us[0] - us_ref_full)))
 result = dict(
     backend=jax.default_backend(), N=N, B=B, chunk=chunk, nu=NU,
+    sublanes=SUBLANES, tile=tile,
     f32_iters=F32_ITERS, df_iters=DF_ITERS,
     t_compile_s=round(t_compile, 1),
     t_solve_best_s=round(t_best, 3),

@@ -323,3 +323,56 @@ def test_kernel_polish_al_branch_interpret():
     assert np.all(np.isfinite(us_k))
     scale = max(1.0, np.abs(us_x).max())
     np.testing.assert_allclose(us_k, us_x, rtol=0, atol=1e-5 * scale)
+
+
+@pytest.mark.slow
+def test_mixed_sublane_packed_matches_lane():
+    """sublanes=8 (packed f32 phase + packed polish) reproduces the lane-
+    layout mixed solve on a tiny problem — both the plain-XLA polish path
+    (kernel_polish=False) and the kernelized one in interpret mode."""
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SE3
+    from trajectory_optimization_matrix_lie_groups_tpu.ops import se3 as se3o
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_pipeline import (
+        join_us,
+    )
+    from trajectory_optimization_matrix_lie_groups_tpu.models import (
+        costs,
+        dynamics,
+    )
+
+    H, B, nu = 3, 16, 6
+    dt = 0.01
+    rng = np.random.default_rng(5)
+    xi_ref = np.tile(np.array([0.1, -0.05, 0.2, 0.5, 0.0, -0.3]),
+                     (H + 1, 1))
+    q = np.eye(4)
+    q_ref = [q]
+    for t in range(H):
+        q = q @ np.asarray(se3o.exp(jnp.asarray(xi_ref[t] * dt,
+                                                jnp.float64)))
+        q_ref.append(q)
+    q_ref = np.stack(q_ref)
+    J = np.diag([1.0, 2.0, 3.0, 1.0, 1.0, 1.0])
+    dp = dynamics.se3_params(jnp.asarray(J, jnp.float64),
+                             jnp.asarray(dt, jnp.float64))
+    cp = costs.tracking_cost_params(
+        SE3, jnp.asarray(np.eye(12), jnp.float64),
+        jnp.asarray(1e-2 * np.eye(6), jnp.float64),
+        jnp.asarray(10 * np.eye(12), jnp.float64),
+        jnp.asarray(q_ref, jnp.float64), jnp.asarray(xi_ref, jnp.float64))
+    params = jax.tree.map(np.asarray, {"dyn": dp, "cost": cp})
+    dq = 0.05 * rng.normal(size=(B, 6))
+    q0s = SE3.normalize(jnp.asarray(q_ref[0])[None]
+                        @ SE3.exp(jnp.asarray(dq, jnp.float64)))
+    xi0s = jnp.broadcast_to(jnp.asarray(xi_ref[0]), (B, 6))
+    us0 = jnp.zeros((B, H, nu), jnp.float64)
+
+    mk = lambda S, kp: MixedDFPipelineSolver(
+        N=H, dt=dt, f32_iterations=2, df_iterations=1, interpret=True,
+        sublanes=S, kernel_polish=kp,
+        df_batch_tile=B if S == 1 else 8)
+    ref = join_us(mk(1, False).solve(params, q0s, xi0s, us0))
+    for kp in (False, True):
+        got = join_us(mk(8, kp).solve(params, q0s, xi0s, us0))
+        err = np.abs(got - ref).max()
+        assert err < 1e-6, (kp, err)

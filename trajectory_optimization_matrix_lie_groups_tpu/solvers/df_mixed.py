@@ -117,11 +117,11 @@ def stage_cost_quad_mx(R, p, xi, RbiR, Rbip, Adb, xib, W1_df, W2_df, W1_32):
     W2ev = pll.matvec(W2_df, ev, 6)
     lx = dfx.concatenate([pll.matvec(JT2, W1e, 6), 2.0 * W2ev], axis=0)
     # f32 preconditioner parts
-    B = Jex.hi.shape[-1]
+    bs = Jex.hi.shape[2:]  # trailing batch dims: (B,) or (S, L)
     dtp = Jex.hi.dtype
     JT2_32 = 2.0 * pll.transpose(Jex.hi)
     H_e = pll.matmul(pll.matmul(JT2_32, W1_32, 6), Jex.hi, 6)
-    Z = jnp.zeros((6, 6, B), dtp)
+    Z = jnp.zeros((6, 6) + bs, dtp)
     lxx32 = pll.blk(H_e, Z, Z, 2.0 * W2_df.hi)
     l32 = (sum(e.hi[i] * W1e.hi[i] for i in range(6))
            + sum(ev.hi[i] * W2ev.hi[i] for i in range(6)))
@@ -173,10 +173,11 @@ def riccati_stage_mx(fx, dd, lx_t, lu_t, lxx32, fu2_df, fu2T_df, fu2_32,
     if luual_t is not None:
         # diagonal AL penalty add via a one-hot mask (Mosaic: no scatter);
         # f32 preconditioner-grade like the rest of Quu
-        r_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 0)
-        c_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 1)
+        nb1 = (1,) * (len(Quu.shape) - 2)
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu) + nb1, 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (nu, nu) + nb1, 1)
         eye = (r_i == c_i).astype(Quu.dtype)
-        Quu = Quu + eye * luual_t[:, None, :]
+        Quu = Quu + eye * luual_t[:, None]
     L = chol_factor_lane(Quu, nu)
     K = -chol_solve_lane(L, Qux, nu)
 
@@ -493,30 +494,44 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         self.kernel_polish = (not self.base.interpret
                               if kernel_polish is None else kernel_polish)
 
-    # -- lane folding helpers (stage axis <-> lane axis) -------------------
+    # -- lane folding helpers (stage axis <-> batch axes) ------------------
+    # Lane layout (base.S == 1): the stage axis merges into the lane axis —
+    # (N, ..., B) <-> (..., N*B).  Sublane-packed (base.S > 1): arrays carry
+    # trailing (S, L) and the stage axis just moves next to them —
+    # (N, ..., S, L) <-> (..., N, S, L); the stage functions are
+    # rank-polymorphic over trailing batch dims, so no merge is needed.
 
     def _fold(self, d):
-        """DF (N, ..., B) -> DF (..., N*B)."""
         N = self.N
-
-        def f(x):
-            x = jnp.moveaxis(x, 0, -2)
-            return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+        if self.base.S > 1:
+            f = lambda x: jnp.moveaxis(x, 0, -3)
+        else:
+            def f(x):
+                x = jnp.moveaxis(x, 0, -2)
+                return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
         return _map_df(f, d) if dfx.is_df(d) else f(d)
 
     def _tile(self, d, B):
-        """(..., B) const -> (..., N*B)."""
+        """Constant (..., batch) -> folded-layout const (stage axis
+        materialized: folded values meet consts inside concatenates, which
+        do not broadcast)."""
         N = self.N
-
-        def f(x):
-            x = jnp.broadcast_to(x[..., None, :], x.shape[:-1] + (N, B))
-            return x.reshape(x.shape[:-2] + (N * B,))
+        if self.base.S > 1:
+            f = lambda x: jnp.broadcast_to(
+                x[..., None, :, :], x.shape[:-2] + (N,) + x.shape[-2:])
+        else:
+            def f(x):
+                x = jnp.broadcast_to(x[..., None, :], x.shape[:-1] + (N, B))
+                return x.reshape(x.shape[:-2] + (N * B,))
         return _map_df(f, d) if dfx.is_df(d) else f(d)
 
     def _unfold(self, d, B):
-        def f(x):
-            x = x.reshape(x.shape[:-1] + (self.N, B))
-            return jnp.moveaxis(x, -2, 0)
+        if self.base.S > 1:
+            f = lambda x: jnp.moveaxis(x, -3, 0)
+        else:
+            def f(x):
+                x = x.reshape(x.shape[:-1] + (self.N, B))
+                return jnp.moveaxis(x, -2, 0)
         return _map_df(f, d) if dfx.is_df(d) else f(d)
 
     # -- mixed linearization ------------------------------------------------
@@ -605,7 +620,8 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         the polish's accuracy gate is on the controls).  ~0.5% of an
         iteration's FLOPs — replaces the trailing metrics backward
         (round-4 loop rotation, see _solve_df)."""
-        B = us.hi.shape[-1]
+        nbd = 1 if self.base.S == 1 else 2
+        B = int(np.prod(us.hi.shape[-nbd:]))
         N = self.N
         fold = self._fold
         hi_cut = lambda d, s: fold(_map_df(lambda x: x[s], d)).hi
@@ -621,7 +637,9 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         W2ev = pll.matvec(tile32(consts32["W2"]), ev, 6)
         l = (sum(e[i] * W1e[i] for i in range(6))
              + sum(ev[i] * W2ev[i] for i in range(6)))
-        lsum = jnp.sum(l.reshape(N, B), axis=0)
+        # folded l: (N*B,) lane layout, (N, S, L) packed — sum the stages
+        lsum = (jnp.sum(l, axis=0) if self.base.S > 1
+                else jnp.sum(l.reshape(N, B), axis=0))
         # terminal
         lasth = lambda d: _map_df(lambda x: x[-1], d).hi
         RbiRN, RbipN, AdbN, xibN, P1d, P2d = term_tail
@@ -633,7 +651,8 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         lN = (sum(eN[i] * P1eN[i] for i in range(6))
               + sum(evN[i] * P2evN[i] for i in range(6)))
         us_j = us.hi + us.lo
-        return (lsum + jnp.einsum("nib,ij,njb->b", us_j, R32, us_j) + lN)
+        return (lsum + jnp.einsum("ni...,ij,nj...->...", us_j, R32, us_j)
+                + lN)
 
     # -- mixed backward -----------------------------------------------------
 
@@ -641,23 +660,20 @@ class MixedDFPipelineSolver(DFPipelineSolver):
                        luu_al=None):
         """Pallas twin of `_backward_mx` (kernel `_riccati_kernel_mx`)."""
         N = self.N
-        B = lu.hi.shape[-1]
-        nu = lu.hi.shape[-2]
+        nbd = 1 if self.base.S == 1 else 2
+        B = int(np.prod(lu.hi.shape[-nbd:]))
+        nu = lu.hi.shape[-nbd - 1]
         dtp = jnp.float32
         nb, bt = self._df_tiles(B)
-        ck = self.base.stage_chunk
+        # packed layout: the DF riccati's blocks at tile 1024 overflow the
+        # 16 MB VMEM budget by 4 KB at chunk=2 (measured) — chunk=1 fits
+        ck = self.base.stage_chunk if self.base.S == 1 else 1
         nc = N // ck
+        bsh = self.base._bshape(B)
+        tsh = self.base._bshape(bt)
 
-        def spec(a):
-            r = len(a.shape)
-            return pl.BlockSpec(
-                (ck,) + a.shape[1:-1] + (bt,),
-                lambda b, i, r=r: (nc - 1 - i,) + (0,) * (r - 2) + (b,))
-
-        def cspec(a):
-            r = len(a.shape)
-            return pl.BlockSpec(a.shape[:-1] + (bt,),
-                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+        spec = lambda a: self.base._gspec(a, bt, ck, nc=nc)
+        cspec = lambda a: self.base._cspec(a, bt)
 
         (qRN, qpN, xiN, RbiRN, RbipN, AdbN, xibN, P1_df, P2_df,
          P1_32) = term
@@ -673,10 +689,10 @@ class MixedDFPipelineSolver(DFPipelineSolver):
                      consts32["Luu"]]
         in_specs = [spec(a) for a in ins] + [cspec(a) for a in consts_in]
         out_shapes = (
-            jax.ShapeDtypeStruct((N, nu, B), dtp),       # k32
-            jax.ShapeDtypeStruct((N, nu, NX, B), dtp),   # K32
-            jax.ShapeDtypeStruct((N, nu, B), dtp),       # gvec hi
-            jax.ShapeDtypeStruct((N, nu, B), dtp),       # gvec lo
+            jax.ShapeDtypeStruct((N, nu) + bsh, dtp),       # k32
+            jax.ShapeDtypeStruct((N, nu, NX) + bsh, dtp),   # K32
+            jax.ShapeDtypeStruct((N, nu) + bsh, dtp),       # gvec hi
+            jax.ShapeDtypeStruct((N, nu) + bsh, dtp),       # gvec lo
         )
         out_specs = tuple(spec(s) for s in out_shapes)
         kernel = functools.partial(_riccati_kernel_mx, nu=nu, chunk=ck,
@@ -685,9 +701,9 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         k32, K32, gH, gL = pl.pallas_call(
             kernel, grid=(nb, nc), out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((NX, bt), dtp),
-                            pltpu.VMEM((NX, bt), dtp),
-                            pltpu.VMEM((NX, NX, bt), dtp)],
+            scratch_shapes=[pltpu.VMEM((NX,) + tsh, dtp),
+                            pltpu.VMEM((NX,) + tsh, dtp),
+                            pltpu.VMEM((NX, NX) + tsh, dtp)],
             interpret=self.base.interpret,
             compiler_params=None if self.base.interpret else _DIMSEM,
         )(*ins, *consts_in)
@@ -702,7 +718,8 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         lane fold) and hands it to the backward as DF(Fx32, 0) — the
         riccati kernel's input contract is DF."""
         N = self.N
-        B = qR.hi.shape[-1]
+        nbd = 1 if self.base.S == 1 else 2
+        B = int(np.prod(qR.hi.shape[-nbd:]))
         dtp = jnp.float32
         nb, bt = self._df_tiles(B)
         # chunk=1 always: these kernels carry no recursion state (chunking
@@ -712,16 +729,10 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         ck = 1
         interp = self.base.interpret
         dimsem = None if interp else _DIMSEM_PAR
+        bsh = self.base._bshape(B)
 
-        def spec(a):
-            r = len(a.shape)
-            return pl.BlockSpec((ck,) + a.shape[1:-1] + (bt,),
-                                lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
-
-        def cspec(a):
-            r = len(a.shape)
-            return pl.BlockSpec(a.shape[:-1] + (bt,),
-                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+        spec = lambda a: self.base._gspec(a, bt, ck)
+        cspec = lambda a: self.base._cspec(a, bt)
 
         sl0 = lambda d: _map_df(lambda x: x[:-1], d)
         sl1 = lambda d: _map_df(lambda x: x[1:], d)
@@ -731,8 +742,8 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         ins_d = [sl1(qR).hi, sl1(qR).lo, sl1(qp).hi, sl1(qp).lo,
                  sl1(xi).hi, sl1(xi).lo, fqR.hi, fqR.lo, fqp.hi, fqp.lo,
                  fxi.hi, fxi.lo]
-        out_shapes_d = (jax.ShapeDtypeStruct((N, 12, B), dtp),
-                        jax.ShapeDtypeStruct((N, 12, B), dtp))
+        out_shapes_d = (jax.ShapeDtypeStruct((N, 12) + bsh, dtp),
+                        jax.ShapeDtypeStruct((N, 12) + bsh, dtp))
         dH, dL = pl.pallas_call(
             functools.partial(_defect_kernel_mx, chunk=ck,
                               nobar=not interp),
@@ -760,8 +771,8 @@ class MixedDFPipelineSolver(DFPipelineSolver):
             consts_j = [consts_df["Jl"].hi, consts_df["Jl"].lo,
                         consts_df["Jil"].hi, consts_df["Jil"].lo,
                         consts_df["mg"].hi, consts_df["mg"].lo]
-            out_shapes_j = (jax.ShapeDtypeStruct((N, 12, 12, B), dtp),
-                            jax.ShapeDtypeStruct((N, 12, 12, B), dtp))
+            out_shapes_j = (jax.ShapeDtypeStruct((N, 12, 12) + bsh, dtp),
+                            jax.ShapeDtypeStruct((N, 12, 12) + bsh, dtp))
             FxH, FxL = pl.pallas_call(
                 functools.partial(_jacobian_kernel_mx, dt=self.dt,
                                   gravity=self.gravity,
@@ -785,10 +796,10 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         consts_c = [consts_df["W1"].hi, consts_df["W1"].lo,
                     consts_df["W2"].hi, consts_df["W2"].lo,
                     consts32["W1"]]
-        out_shapes_c = (jax.ShapeDtypeStruct((N, 12, B), dtp),
-                        jax.ShapeDtypeStruct((N, 12, B), dtp),
-                        jax.ShapeDtypeStruct((N, 12, 12, B), dtp),
-                        jax.ShapeDtypeStruct((N, 1, B), dtp))
+        out_shapes_c = (jax.ShapeDtypeStruct((N, 12) + bsh, dtp),
+                        jax.ShapeDtypeStruct((N, 12) + bsh, dtp),
+                        jax.ShapeDtypeStruct((N, 12, 12) + bsh, dtp),
+                        jax.ShapeDtypeStruct((N, 1) + bsh, dtp))
         lxH, lxL, lxx32, l32 = pl.pallas_call(
             functools.partial(_cost_quad_kernel_mx, chunk=ck,
                               nobar=not interp),
@@ -821,7 +832,7 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         fu2_32 = consts32["Fu"][6:]
         fu2T_32 = pll.transpose(fu2_32)
         Luu32 = consts32["Luu"]
-        nu = lu.hi.shape[-2]
+        nu = lu.hi.shape[-2 if self.base.S == 1 else -3]
 
         def step(carry, inp):
             Vx, Vxx32 = _df(carry[0]), carry[1]
@@ -846,21 +857,16 @@ class MixedDFPipelineSolver(DFPipelineSolver):
     def _rollout_mx_k(self, qR, qp, xi, us, k32, K32, lin, consts_df):
         """Pallas twin of `_rollout_mx` (kernel `_rollout_kernel_mx`)."""
         N = self.N
-        B = us.hi.shape[-1]
-        nu = us.hi.shape[-2]
+        nbd = 1 if self.base.S == 1 else 2
+        B = int(np.prod(us.hi.shape[-nbd:]))
+        nu = us.hi.shape[-nbd - 1]
         dtp = jnp.float32
         nb, bt = self._df_tiles(B)
         ck = 1  # 13k-primitive body; chunk>1 would pass the compiler ceiling
+        tsh = self.base._bshape(bt)
 
-        def spec(a):
-            r = len(a.shape)
-            return pl.BlockSpec((ck,) + a.shape[1:-1] + (bt,),
-                                lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
-
-        def cspec(a):
-            r = len(a.shape)
-            return pl.BlockSpec(a.shape[:-1] + (bt,),
-                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
+        spec = lambda a: self.base._gspec(a, bt, ck)
+        cspec = lambda a: self.base._cspec(a, bt)
 
         sl0 = lambda d: _map_df(lambda x: x[:-1], d)
         sl1 = lambda d: _map_df(lambda x: x[1:], d)
@@ -874,7 +880,8 @@ class MixedDFPipelineSolver(DFPipelineSolver):
                      consts_df["Jil"].hi, consts_df["Jil"].lo,
                      consts_df["Pu"].hi, consts_df["Pu"].lo,
                      consts_df["mg"].hi, consts_df["mg"].lo]
-        sh = lambda *s: jax.ShapeDtypeStruct((N,) + s + (B,), dtp)
+        sh = lambda *s: jax.ShapeDtypeStruct(
+            (N,) + s + self.base._bshape(B), dtp)
         out_shapes = (sh(3, 3), sh(3, 3), sh(3), sh(3), sh(6), sh(6),
                       sh(nu), sh(nu),
                       sh(3, 3), sh(3, 3), sh(3), sh(3), sh(6), sh(6))
@@ -886,12 +893,12 @@ class MixedDFPipelineSolver(DFPipelineSolver):
             kernel, grid=(nb, N // ck), out_shape=out_shapes,
             in_specs=[spec(a) for a in ins] + [cspec(a) for a in consts_in],
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((3, 3, bt), dtp),
-                            pltpu.VMEM((3, 3, bt), dtp),
-                            pltpu.VMEM((3, bt), dtp),
-                            pltpu.VMEM((3, bt), dtp),
-                            pltpu.VMEM((6, bt), dtp),
-                            pltpu.VMEM((6, bt), dtp)],
+            scratch_shapes=[pltpu.VMEM((3, 3) + tsh, dtp),
+                            pltpu.VMEM((3, 3) + tsh, dtp),
+                            pltpu.VMEM((3,) + tsh, dtp),
+                            pltpu.VMEM((3,) + tsh, dtp),
+                            pltpu.VMEM((6,) + tsh, dtp),
+                            pltpu.VMEM((6,) + tsh, dtp)],
             interpret=self.base.interpret,
             compiler_params=None if self.base.interpret else _DIMSEM,
         )(*ins, *consts_in)
@@ -975,13 +982,24 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         N = self.N
         dtp = jnp.float32
         nu = us.shape[-2]
+        # sublane-packed polish: the whole phase (kernels + folded glue)
+        # runs in the packed layout; pack the handoff state and the lane
+        # constants once here, unpack once at exit
+        pk = self.base._pack
+        nbd = 1 if self.base.S == 1 else 2
+        bsh = self.base._bshape(B)
+        pkd = lambda d: dfx.DF(pk(d.hi), pk(d.lo))
         prom = lambda x: dfx.DF(x, jnp.zeros_like(x))
         consts_df, refs_df, term_tail, Rdf, R32 = self._df_setup(sp, B)
+        if self.base.S > 1:
+            consts_df = {k: pkd(v) for k, v in consts_df.items()}
+            refs_df = {k: pkd(v) for k, v in refs_df.items()}
+            term_tail = tuple(pkd(v) for v in term_tail)
         cost = sp["cost"]
-        lanes = lambda M: jnp.broadcast_to(M[..., None], M.shape + (B,))
+        lanes = lambda M: pk(jnp.broadcast_to(M[..., None], M.shape + (B,)))
         dyn = sp["dyn"]
-        mg32 = (jnp.broadcast_to(dyn.m[0] * dyn.g[0], (1, B))
-                if self.gravity else jnp.zeros((1, B), dtp))
+        mg32 = pk(jnp.broadcast_to(dyn.m[0] * dyn.g[0], (1, B))
+                  if self.gravity else jnp.zeros((1, B), dtp))
         consts32 = dict(
             W1=lanes(cost.Q1[0]), Fu=consts_df["Fu"].hi,
             Luu=lanes(2.0 * R32), P1=lanes(cost.P1[0]),
@@ -990,19 +1008,22 @@ class MixedDFPipelineSolver(DFPipelineSolver):
         )
         term_mx = term_tail + (consts32["P1"],)
 
-        qRd, qpd, xid, usd = prom(qR), prom(qp), prom(xi), prom(us)
+        qRd, qpd, xid, usd = (prom(pk(qR)), prom(pk(qp)), prom(pk(xi)),
+                              prom(pk(us)))
 
         if al is not None:
             lb_a, ub_a, lmbd_a, imu_a = al
-            lam_l = jnp.moveaxis(lmbd_a, 0, -1).astype(dtp)  # (N+1, 2nu, B)
-            imu_l = jnp.moveaxis(imu_a, 0, -1).astype(dtp)
+            lam_l = pk(jnp.moveaxis(lmbd_a, 0, -1).astype(dtp))
+            imu_l = pk(jnp.moveaxis(imu_a, 0, -1).astype(dtp))
             lam_lo32, lam_hi32 = lam_l[:-1, :nu], lam_l[:-1, nu:]
             im_lo32, im_hi32 = imu_l[:-1, :nu], imu_l[:-1, nu:]
             lb32 = jnp.broadcast_to(
-                jnp.asarray(lb_a, dtp)[None, :, None], (N, nu, B))
+                jnp.asarray(lb_a, dtp).reshape((1, nu) + (1,) * nbd),
+                (N, nu) + bsh)
             ub32 = jnp.broadcast_to(
-                jnp.asarray(ub_a, dtp)[None, :, None], (N, nu, B))
-            luu_al32 = im_lo32 + im_hi32                      # (N, nu, B)
+                jnp.asarray(ub_a, dtp).reshape((1, nu) + (1,) * nbd),
+                (N, nu) + bsh)
+            luu_al32 = im_lo32 + im_hi32                   # (N, nu, batch)
         else:
             luu_al32 = None
 
@@ -1069,7 +1090,7 @@ class MixedDFPipelineSolver(DFPipelineSolver):
                     return (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
                             tuple(_pair(e) for e in evals), _pair(gvec))
 
-                gvec0 = dfx.promote(jnp.zeros((N, nu, B), dtp))
+                gvec0 = dfx.promote(jnp.zeros((N, nu) + bsh, dtp))
                 carry = (_pair(qRd), _pair(qpd), _pair(xid), _pair(usd),
                          tuple(_pair(e) for e in evals0), _pair(gvec0))
                 carry = lax.fori_loop(0, self.df_iterations, df_body, carry)
@@ -1090,10 +1111,13 @@ class MixedDFPipelineSolver(DFPipelineSolver):
                 + 0.5 * (im_lo32 * glo32 * glo32
                          + im_hi32 * ghi32 * ghi32), axis=(0, 1))
 
-        bk = lambda x: jnp.moveaxis(x, -1, 0)
+        upk = self.base._unpack
+        bk = lambda x: jnp.moveaxis(upk(x), -1, 0)
         qs = jnp.zeros((B, N + 1, 4, 4), dtp)
         qs = qs.at[:, :, :3, :3].set(bk(qRd.hi))
         qs = qs.at[:, :, :3, 3].set(bk(qpd.hi))
         qs = qs.at[:, :, 3, 3].set(1.0)
         return DFState(qs=qs, xis=bk(xid.hi), us_hi=bk(usd.hi),
-                       us_lo=bk(usd.lo), J_opt=J, grad_norm=g)
+                       us_lo=bk(usd.lo),
+                       J_opt=upk(J) if self.base.S > 1 else J,
+                       grad_norm=upk(g) if self.base.S > 1 else g)

@@ -128,13 +128,13 @@ class DFPipelineSolver:
                  gravity: bool = False, exact_gravity_jacobian: bool = False,
                  stage_chunk: int = 1, interpret: bool = False,
                  sublanes: int = 1, df_batch_tile: int = None):
-        """``sublanes``: sublane-packed f32 phase (pipeline.py ``sublanes``;
-        lane state is unpacked once at the f32->DF phase boundary, so the
-        polish phase is layout-unchanged).  ``df_batch_tile``: batch tile
-        for the polish-phase kernels (df_mixed kernel_polish) — defaults to
-        ``batch_tile``, except 256 when the f32 phase is sublane-packed
-        (whose tile must be >= 1024 to fill the lane axis; the DF kernels'
-        2x-sized blocks would blow VMEM at that tile)."""
+        """``sublanes``: sublane-packed layout (pipeline.py ``sublanes``)
+        for BOTH phases — the f32 pipeline and (in the mixed driver) the
+        polish kernels; the full-DF polish driver unpacks at the phase
+        boundary and stays lane-layout.  ``df_batch_tile``: batch tile for
+        the polish-phase kernels (df_mixed kernel_polish) — defaults to
+        ``batch_tile`` (sublane-packed: 1024, the smallest tile that fills
+        the 128-lane axis at S=8)."""
         self.N = N
         self.dt = float(dt)
         self.f32_iterations = f32_iterations
@@ -142,8 +142,7 @@ class DFPipelineSolver:
         self.gravity = gravity
         self.exact_grav = exact_gravity_jacobian
         if df_batch_tile is None:
-            df_batch_tile = batch_tile if sublanes == 1 else \
-                (256 if batch_tile is None else min(batch_tile, 256))
+            df_batch_tile = batch_tile if sublanes == 1 else 1024
         self.df_batch_tile = df_batch_tile
         self.base = PallasPipelineSolver(
             N=N, iterations=f32_iterations, dt=dt, interpret=interpret,
@@ -157,8 +156,8 @@ class DFPipelineSolver:
         self._df_jit = jax.jit(self._solve_df)
 
     def _df_tiles(self, B):
-        """(n_tiles, tile) for the polish-phase kernels (lane layout)."""
-        bt = B if self.df_batch_tile is None else self.df_batch_tile
+        """(n_tiles, tile) for the polish-phase kernels."""
+        bt = B if self.df_batch_tile is None else min(self.df_batch_tile, B)
         if B % bt:
             raise ValueError(f"batch {B} not divisible by df_batch_tile {bt}")
         return B // bt, bt
