@@ -43,7 +43,7 @@ from trajectory_optimization_matrix_lie_groups_tpu.tasks.al_bench import (
 )
 from trajectory_optimization_matrix_lie_groups_tpu.utils.records import record
 
-B = int(os.environ.get("B", "512"))
+B = int(os.environ.get("B", "1024"))
 ITERS = int(os.environ.get("ITERS", "16"))
 N_AL = int(os.environ.get("N_AL", "3"))
 CHUNK = int(os.environ.get("CHUNK", "4"))
@@ -53,8 +53,12 @@ params, lb, ub, q0, xi0, q_ref, xi_ref = build_al1400(jnp.float32, H)
 dp, cp = params["dyn"], params["cost"]
 us_ref = np.load(os.path.join(bench.GOLDEN_DIR, "al1400_us.npy"))
 
+# sublane-packed layout where the batch can fill the lane axis (B >= 1024)
+SUBLANES = int(os.environ.get("SUBLANES", "8" if B >= 1024 else "1"))
+TILE = min(1024, B) if SUBLANES == 8 else min(256, B)
 pipe = PallasPipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
-                            batch_tile=min(256, B), stage_chunk=CHUNK)
+                            batch_tile=TILE, stage_chunk=CHUNK,
+                            sublanes=SUBLANES)
 al = ALPipelineSolver(pipe, lb=np.full(6, lb), ub=np.full(6, ub))
 
 
@@ -90,6 +94,7 @@ mv = np.asarray(res.max_violation)
 err = float(np.max(np.abs(np.asarray(res.us[0], np.float64) - us_ref)))
 result = dict(
     backend=jax.default_backend(), N=H, B=B, chunk=CHUNK,
+    sublanes=SUBLANES, tile=TILE,
     f32_iters=ITERS, n_al=N_AL,
     t_compile_s=round(t_compile, 1),
     t_solve_best_s=round(t_best, 3),
@@ -122,7 +127,8 @@ if os.environ.get("POLISH", "1") == "1":
     N_POL = int(os.environ.get("POLISH_OUTERS", "2"))
     mx = MixedDFPipelineSolver(N=H, dt=float(dp.dt), f32_iterations=PF32,
                                df_iterations=PDF,
-                               batch_tile=min(256, B), stage_chunk=CHUNK)
+                               batch_tile=TILE, stage_chunk=CHUNK,
+                               sublanes=SUBLANES)
     params64 = build_al1400_np64(H)
     # compile/warm on batches[2]'s result, time on batches[3]'s — identical
     # repeated tunnel requests may be cache-served (CLAUDE.md), so the
@@ -131,15 +137,19 @@ if os.environ.get("POLISH", "1") == "1":
     us_pol, out, _, _ = al_polish(mx, params64, lb, ub, res_by_seed[2],
                                   batches[2], xi0s, n_outers=N_POL)
     t_pol_compile = time.perf_counter() - t0
+    tm = {}
     t0 = time.perf_counter()
     us_pol, out, _, _ = al_polish(mx, params64, lb, ub, res_by_seed[3],
-                                  batches[3], xi0s, n_outers=N_POL)
+                                  batches[3], xi0s, n_outers=N_POL,
+                                  timings=tm)
     t_pol = time.perf_counter() - t0
     err_pol = float(np.max(np.abs(us_pol[0] - us_ref)))
     result.update(
         polish_f32_iters=PF32, polish_df_iters=PDF, polish_al=True,
         polish_outers=N_POL,
         t_polish_s=round(t_pol, 3),
+        t_polish_split={k: [round(v, 3) for v in vs]
+                        for k, vs in tm.items()},
         t_polish_compile_s=round(t_pol_compile, 1),
         solves_per_s_with_polish=round(B / (t_best + t_pol), 1),
         lane0_us_max_err_polished=err_pol,

@@ -134,7 +134,7 @@ class ALPipelineSolver:
 
 
 def al_polish(mx, params64, lb, ub, res, q0s, xi0s, n_outers=2,
-              mu_scale=10.0, mu_max=1e8):
+              mu_scale=10.0, mu_max=1e8, timings=None):
     """Double-f32 refinement of a constrained (input-box) solve.
 
     ``mx`` is a `MixedDFPipelineSolver` — give it the FULL f32 iteration
@@ -162,7 +162,14 @@ def al_polish(mx, params64, lb, ub, res, q0s, xi0s, n_outers=2,
     Returns (us_f64 (B, N, nu), out: DFState, lmbd, imu) — the polished
     controls in float64 (fallback applied) and the final polish
     state/multipliers.
+
+    ``timings``: optional dict — filled with per-phase walls:
+    ``solve_s`` (list, device mx.solve per outer, barriered on the
+    first-control slice), ``readback_s`` (list, full us hi+lo host
+    materialization per outer — tunnel transfer), ``host_s`` (list,
+    float64 dual ascent + re-upload prep per outer).
     """
+    import time as _time
     if n_outers < 1:
         raise ValueError("n_outers must be >= 1")
     if res.imu is None:
@@ -178,12 +185,24 @@ def al_polish(mx, params64, lb, ub, res, q0s, xi0s, n_outers=2,
     mu = np.full(lam.shape[0], float(np.max(imu)))
     us_warm = jnp.asarray(np.asarray(res.us), jnp.float32)
     out = None
+    if timings is not None:
+        timings.update(solve_s=[], readback_s=[], host_s=[])
     for _ in range(n_outers):
+        t0 = _time.perf_counter()
         out = mx.solve(params64, q0s, xi0s, us_warm,
                        al=(lbv, ubv, lam.astype(np.float32),
                            imu.astype(np.float32)))
+        if timings is not None:
+            # barrier on a small slice (CLAUDE.md: block_until_ready can
+            # resolve early; the full copy masks compute time)
+            _ = np.asarray(out.us_hi[:, 0, :])
+            timings["solve_s"].append(_time.perf_counter() - t0)
+            t0 = _time.perf_counter()
         us64 = (np.asarray(out.us_hi, np.float64)
                 + np.asarray(out.us_lo, np.float64))
+        if timings is not None:
+            timings["readback_s"].append(_time.perf_counter() - t0)
+            t0 = _time.perf_counter()
         glo = lbv[None, None] - us64
         ghi = us64 - ubv[None, None]
         g = np.concatenate([glo, ghi], axis=-1)   # (B, N, 2nu)
@@ -195,6 +214,8 @@ def al_polish(mx, params64, lb, ub, res, q0s, xi0s, n_outers=2,
         imu = np.where((g < 0.0) & (lam == 0.0), 0.0,
                        mu[:, None, None])
         us_warm = jnp.asarray(us64, jnp.float32)
+        if timings is not None:
+            timings["host_s"].append(_time.perf_counter() - t0)
 
     viol = lambda u: np.maximum(
         np.maximum(lbv[None, None] - u, u - ubv[None, None]).max(
