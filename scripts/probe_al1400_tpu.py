@@ -157,5 +157,33 @@ if os.environ.get("POLISH", "1") == "1":
         u_abs_max_polished=round(float(np.abs(us_pol).max()), 3),
     )
 
+    # device-dual polish (al_polish_device): no per-outer host readback —
+    # the host variant is tunnel/host-bound (see t_polish_split).  Timed
+    # best-of-2 with distinct batches, first-control readback barrier
+    # (bench.py methodology); gate on lane 0 via a small slice.
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_pipeline import (
+        al_polish_device,
+    )
+
+    outd, _, _ = al_polish_device(mx, params64, lb, ub, res_by_seed[2],
+                                  batches[2], xi0s, n_outers=N_POL)
+    _ = np.asarray(outd.us_hi[:, 0, :])
+    t_dev = np.inf
+    for s in (3, 2):
+        t0 = time.perf_counter()
+        outd, _, _ = al_polish_device(mx, params64, lb, ub, res_by_seed[s],
+                                      batches[s], xi0s, n_outers=N_POL)
+        _ = np.asarray(outd.us_hi[:, 0, :])
+        t_dev = min(t_dev, time.perf_counter() - t0)
+    us0_dev = (np.asarray(outd.us_hi[0], np.float64)
+               + np.asarray(outd.us_lo[0], np.float64))
+    err_dev = float(np.max(np.abs(us0_dev - us_ref)))
+    result.update(
+        t_polish_device_s=round(t_dev, 3),
+        solves_per_s_with_device_polish=round(B / (t_best + t_dev), 1),
+        lane0_us_max_err_device_polish=err_dev,
+        gate_1e4_passed_device=bool(err_dev <= 1e-4),
+    )
+
 print(json.dumps(result))
 record("ref_scale_al1400", result)

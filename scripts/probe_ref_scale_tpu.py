@@ -45,7 +45,10 @@ from trajectory_optimization_matrix_lie_groups_tpu.solvers.df_pipeline import (
 from trajectory_optimization_matrix_lie_groups_tpu.utils.records import record
 
 B = int(os.environ.get("B", "1024"))
-CHUNK = int(os.environ.get("CHUNK", "5"))
+# 955 = 5 * 191: the only usable chunks are 1 and 5; packed (sublanes=8)
+# tile-1024 blocks only fit VMEM at chunk=1
+SUBLANES = int(os.environ.get("SUBLANES", "8" if B >= 1024 else "1"))
+CHUNK = int(os.environ.get("CHUNK", "1" if SUBLANES == 8 else "5"))
 F32_ITERS = int(os.environ.get("F32_ITERS", "24"))
 DF_ITERS = int(os.environ.get("DF_ITERS", "2"))
 
@@ -58,10 +61,11 @@ params64 = bench.build_problem_np64(prob, N)
 q0_pkl = jnp.asarray(np.asarray(prob["x0"][0]), jnp.float32)
 xi0_pkl = jnp.asarray(np.asarray(prob["x0"][1]).reshape(6), jnp.float32)
 
+TILE = min(1024, B) if SUBLANES == 8 else min(256, B)
 mx = MixedDFPipelineSolver(N=N, dt=float(prob["dt"]),
                            f32_iterations=F32_ITERS, df_iterations=DF_ITERS,
-                           batch_tile=min(bench.BATCH_TILE, B),
-                           stage_chunk=CHUNK)
+                           batch_tile=TILE,
+                           stage_chunk=CHUNK, sublanes=SUBLANES)
 sp = split_pytree(params64)
 
 
@@ -103,6 +107,7 @@ us = join_us(out)
 err = float(np.max(np.abs(us[0] - us_ref)))
 result = dict(
     backend=jax.default_backend(), N=N, B=B, chunk=CHUNK,
+    sublanes=SUBLANES, tile=TILE,
     f32_iters=F32_ITERS, df_iters=DF_ITERS,
     t_compile_s=round(t_compile, 1),
     t_solve_best_s=round(t_best, 3),

@@ -330,3 +330,18 @@ def test_al_mixed_polish_refines_active_set_to_f64():
     # polished controls stay (near-)feasible: the augmented optimum can sit
     # a multiplier-grade distance outside the rail, not more
     assert float(np.abs(us_pol).max()) <= ub * (1 + 1e-3)
+
+    # device-dual variant (round 5: dual ascent on device, f32
+    # multipliers — no per-outer host readback): same gate, and within
+    # dual-rounding distance of the f64-dual host variant
+    from trajectory_optimization_matrix_lie_groups_tpu.solvers.al_pipeline import (
+        al_polish_device,
+    )
+
+    outd, _, _ = al_polish_device(mx, params64, lb, ub, res, q0s32, xi0s32,
+                                  n_outers=2)
+    us_dev = (np.asarray(outd.us_hi, np.float64)
+              + np.asarray(outd.us_lo, np.float64))
+    err_dev = float(np.max(np.abs(us_dev - us64)))
+    assert err_dev < 1e-4, (err_dev, err_pol)
+    assert float(np.abs(us_dev).max()) <= ub * (1 + 1e-3)

@@ -18,6 +18,7 @@ diagonal-Imu representation.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -224,3 +225,74 @@ def al_polish(mx, params64, lb, ub, res, q0s, xi0s, n_outers=2,
     bad = viol(us64) > viol(us_f32_64) + 1e-5
     us64 = np.where(bad[:, None, None], us_f32_64, us64)
     return us64, out, lam, imu
+
+
+def al_polish_device(mx, params64, lb, ub, res, q0s, xi0s, n_outers=2,
+                     mu_scale=10.0, mu_max=1e8):
+    """`al_polish` with the dual ascent ON DEVICE — no per-outer host
+    readback.
+
+    The host variant's wall is tunnel/host-bound, not device-bound
+    (measured at N=1400, B=1024: 3.9 s device solve vs 4.6 s full-us
+    readback + 1.3-4.2 s host numpy PER OUTER — records
+    name=ref_scale_al1400, t_polish_split).  Here the multipliers stay f32
+    on device and the ascent runs jitted between the polish solves:
+
+      - box residuals from the DF iterate as exact f32 compensated sums —
+        near a rail `us_hi - ub` is exact (Sterbenz) and `+ us_lo` carries
+        the DF tail, so g is f32-rounding-accurate however tiny;
+      - lam = clip(lam + imu g, 0): f32 with ~6e-8 relative error — the
+        same grade the polish solves already assume (`MixedDFPipelineSolver`
+        treats multipliers as exact-at-f32 parameters), and measured to
+        keep the lane-0 golden gate (2.14e-5, name=ref_scale_al1400);
+      - the per-lane feasibility fallback (al_polish docstring) also runs
+        on device.
+
+    Returns (out: DFState with the fallback applied to us_hi/us_lo,
+    lam (B, N+1, 2nu) f32 device, imu f32 device).  Join
+    `out.us_hi/us_lo` on the host only when full controls are needed —
+    that readback is the host variant's dominant cost.
+    """
+    if n_outers < 1:
+        raise ValueError("n_outers must be >= 1")
+    if res.imu is None:
+        raise ValueError("res.imu is None: al_polish_device needs the "
+                         "active-set penalties (see al_polish)")
+    nu = np.shape(res.us)[-1]
+    lbv = jnp.asarray(np.broadcast_to(np.asarray(lb, np.float32), (nu,)))
+    ubv = jnp.asarray(np.broadcast_to(np.asarray(ub, np.float32), (nu,)))
+    lam = jnp.asarray(res.lmbd, jnp.float32)      # (B, N+1, 2nu)
+    imu = jnp.asarray(res.imu, jnp.float32)
+    mu0 = jnp.max(imu)                            # scalar, stays on device
+    us_warm = jnp.asarray(res.us, jnp.float32)
+
+    @jax.jit
+    def dual_update(us_hi, us_lo, lam, imu, mu):
+        glo = (lbv[None, None] - us_hi) - us_lo
+        ghi = (us_hi - ubv[None, None]) + us_lo
+        g = jnp.concatenate([glo, ghi], axis=-1)          # (B, N, 2nu)
+        g = jnp.concatenate([g, jnp.zeros_like(g[:, :1])], axis=1)
+        lam_n = jnp.clip(lam + imu * g, 0.0, None)
+        mu_n = jnp.minimum(mu * jnp.float32(mu_scale), jnp.float32(mu_max))
+        imu_n = jnp.where((g < 0.0) & (lam_n == 0.0), 0.0, mu_n)
+        return lam_n, imu_n, mu_n
+
+    @jax.jit
+    def fallback(us_hi, us_lo, us_f32):
+        vio = lambda u: jnp.maximum(jnp.max(jnp.maximum(
+            lbv[None, None] - u, u - ubv[None, None]), axis=(1, 2)), 0.0)
+        bad = vio(us_hi + us_lo) > vio(us_f32) + jnp.float32(1e-5)
+        m = bad[:, None, None]
+        return (jnp.where(m, us_f32, us_hi),
+                jnp.where(m, jnp.zeros_like(us_lo), us_lo))
+
+    mu = mu0
+    out = None
+    for _ in range(n_outers):
+        out = mx.solve(params64, q0s, xi0s, us_warm,
+                       al=(lbv, ubv, lam, imu))
+        lam, imu, mu = dual_update(out.us_hi, out.us_lo, lam, imu, mu)
+        us_warm = out.us_hi
+    us_hi, us_lo = fallback(out.us_hi, out.us_lo,
+                            jnp.asarray(res.us, jnp.float32))
+    return out._replace(us_hi=us_hi, us_lo=us_lo), lam, imu
