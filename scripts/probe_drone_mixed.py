@@ -167,6 +167,8 @@ result = dict(
     solves_per_s=round(B / t_best, 1),
     lane0_us_max_err_vs_ref=err,
     gate_1e4_passed=bool(err <= 1e-4),
+    grad_norm_p50=float(np.percentile(np.asarray(out.grad_norm), 50)),
+    grad_norm_p95=float(np.percentile(np.asarray(out.grad_norm), 95)),
     grad_norm_max=float(np.asarray(out.grad_norm).max()),
 )
 print(json.dumps(result))
