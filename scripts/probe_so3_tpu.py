@@ -38,7 +38,8 @@ from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
 )
 
 B = 8 if SMALL else 8192
-TILE = None if SMALL else 256
+SUBLANES = int(os.environ.get("SUBLANES", "1" if SMALL else "8"))
+TILE = None if SMALL else (1024 if SUBLANES == 8 else 256)
 ITERS = 4 if SMALL else 30  # pendulum swing-up converges in ~30 fixed-budget iters
 interp = jax.default_backend() != "tpu"
 
@@ -68,9 +69,11 @@ for name, pendulum in (("so3_tracking", False), ("pendulum_swingup", True)):
     # — smaller per-stage state, grid overhead already amortized)
     pipe = SO3PipelineSolver(N=N, iterations=ITERS, dt=float(dp.dt),
                              pendulum=pendulum, interpret=interp,
-                             batch_tile=TILE)
+                             batch_tile=TILE, sublanes=SUBLANES)
     out = pipe.solve(dp, cp, batches[0], xi0s, us0)
     _ = np.asarray(out.us)  # warm-up + compile
+    out = pipe.solve(dp, cp, batches[2], xi0s, us0)
+    _ = np.asarray(out.us[:, 0, :])  # priming rep (rep-cliff)
     t0 = time.perf_counter()
     out = pipe.solve(dp, cp, batches[1], xi0s, us0)
     _ = np.asarray(out.us[:, 0, :])  # first-control readback barrier
@@ -79,7 +82,7 @@ for name, pendulum in (("so3_tracking", False), ("pendulum_swingup", True)):
     us_ref = np.asarray(data[sol_key]["us"])
     err = float(np.max(np.abs(np.asarray(out.us[0], np.float64) - us_ref)))
     results[name] = dict(
-        N=N, B=B, iters=ITERS,
+        N=N, B=B, iters=ITERS, sublanes=SUBLANES,
         solves_per_s=round(B / dt_s, 1),
         lane0_us_max_err_vs_ref=err,
     )

@@ -84,3 +84,41 @@ def test_so3_pipeline_batch_tile_and_chunk():
     # differs between the two layouts: allow 1 f32 ulp
     np.testing.assert_allclose(np.asarray(a.J_opt), np.asarray(b.J_opt),
                                rtol=3e-7)
+
+
+@pytest.mark.slow
+def test_so3_pipeline_sublane_layout_matches_lane():
+    """sublanes=8 reproduces the lane layout's iterates for both SO(3)
+    families (free attitude + pendulum) — the round-5 packed layout."""
+    from trajectory_optimization_matrix_lie_groups_tpu.ops.group import SO3
+    from trajectory_optimization_matrix_lie_groups_tpu.tasks.parity import (
+        build_benchmark,
+        cut_reference,
+    )
+
+    for name, pend in (("so3_tracking", False), ("pendulum_swingup", True)):
+        data, solver, params, x0, us0, _ = build_benchmark(name, True)
+        H, B, ITERS = 10, 16, 4
+        params = cut_reference(params, H)
+        to32 = lambda t: jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, t)
+        params = to32(params)
+        cp = params["cost"]
+        dp = params["dyn"]
+        dq = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (B, 3),
+                                      jnp.float32)
+        q0s = SO3.normalize(cp.q_ref[0][None] @ SO3.exp(dq))
+        xi0s = jnp.broadcast_to(cp.xi_ref[0], (B, 3))
+        us0s = jnp.zeros((B, H, 3), jnp.float32)
+        interp = jax.default_backend() != "tpu"
+        p1 = SO3PipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                               pendulum=pend, interpret=interp)
+        p8 = SO3PipelineSolver(N=H, iterations=ITERS, dt=float(dp.dt),
+                               pendulum=pend, interpret=interp, sublanes=8)
+        a = p1.solve(dp, cp, q0s, xi0s, us0s)
+        b = p8.solve(dp, cp, q0s, xi0s, us0s)
+        for f in ("us", "qs", "xis"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                atol=1e-6, err_msg=f"{name} {f}")

@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -37,6 +38,7 @@ from trajectory_optimization_matrix_lie_groups_tpu.ops import pallas_lie as pll
 from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import (
     _DIMSEM,
     _DIMSEM_PAR,
+    PallasPipelineSolver,
     riccati_stage,
 )
 
@@ -75,14 +77,14 @@ def so3_stage_jacobian(R, xi, u, Jl, Jil, mgr, mr, *, dt, pendulum):
     """Lane-layout (Fx, fu2): Fx = [[Exp(-tau), Jr(tau) dt], [L dt, I+H dt]]
     (L = 0 for the free body), fu2 = bottom half of Fu
     (models/dynamics.py:90-103 free, :148-168 pendulum)."""
-    B = xi.shape[-1]
+    bs = xi.shape[1:]  # trailing batch dims: (B,) or (S, L)
     dtp = xi.dtype
     tau = xi * dt
     J_q_q = pll.so3_exp(-tau)
     J_q_xi = pll.so3_left_jacobian(-tau) * dt    # Jr(tau) dt
     G = pll.hat(pll.matvec3(Jl, xi))
     H_blk = pll.matmul3(Jil, G - pll.matmul3(pll.hat(xi), Jl))
-    eye = pll._eye3(dtp, B)
+    eye = pll._eye3(dtp, bs)
     D = eye + H_blk * dt
     if pendulum:
         Rt = pll.transpose(R)
@@ -97,7 +99,7 @@ def so3_stage_jacobian(R, xi, u, Jl, Jil, mgr, mr, *, dt, pendulum):
         C = pll.matmul3(Jil, L1 + L2) * dt
         fu2 = pll.matmul3(Jil, pll.matmul3(pll.hat(mr), Rt)) * dt
     else:
-        C = jnp.zeros((3, 3, B), dtp)
+        C = jnp.zeros((3, 3) + bs, dtp)
         fu2 = Jil * dt
     return pll.blk(J_q_q, J_q_xi, C, D), fu2
 
@@ -109,7 +111,7 @@ def so3_stage_cost_quad(R, xi, RbiR, xib, W1v, W2v, W1h, W2h):
     (W1v, W2v) weight the value+gradient, (W1h, W2h) the Hessian — equal
     for stage costs; the terminal SO(3) quirk passes (Q, P)
     (traopt_cost.py:477-487 vs :526-531).  Returns (lx, lxx, l)."""
-    B = xi.shape[-1]
+    bs = xi.shape[1:]
     dtp = xi.dtype
     e = pll.so3_log(pll.matmul3(R, RbiR))
     ev = xi - xib
@@ -120,7 +122,7 @@ def so3_stage_cost_quad(R, xi, RbiR, xib, W1v, W2v, W1h, W2h):
     W2ev = pll.matvec3(W2v, ev)
     lx = jnp.concatenate([pll.matvec3(JT2, W1e), 2.0 * W2ev], axis=0)
     H_e = pll.matmul3(pll.matmul3(2.0 * pll.transpose(Jex), W1h), Jex)
-    Z = jnp.zeros((3, 3, B), dtp)
+    Z = jnp.zeros((3, 3) + bs, dtp)
     lxx = pll.blk(H_e, Z, Z, 2.0 * W2h)
     l_val = (sum(e[i] * W1e[i] for i in range(3))
              + sum(ev[i] * W2ev[i] for i in range(3)))
@@ -272,7 +274,11 @@ class SO3PipelineSolver:
     def __init__(self, N: int, iterations: int, dt: float,
                  pendulum: bool = False, term_quirk: bool = True,
                  interpret: bool = False, batch_tile: int = None,
-                 stage_chunk: int = 1):
+                 stage_chunk: int = 1, sublanes: int = 1):
+        """``sublanes``: the round-5 sublane-packed batch layout (see
+        `PallasPipelineSolver` — same semantics, same bit-identical
+        iterates; batch_tile must be >= 1024 on real hardware so the
+        packed lane axis fills 128)."""
         self.N = N
         self.iterations = iterations
         self.dt = float(dt)
@@ -280,53 +286,52 @@ class SO3PipelineSolver:
         self.term_quirk = term_quirk
         self.interpret = interpret
         self.batch_tile = batch_tile
+        if sublanes not in (1, 8):
+            raise ValueError(f"sublanes must be 1 or 8, got {sublanes}")
+        self.S = sublanes
         if N % stage_chunk:
             raise ValueError(f"horizon {N} not divisible by stage_chunk "
                              f"{stage_chunk}")
         self.stage_chunk = stage_chunk
         self._solve_jit = jax.jit(self._solve)
 
-    def _tiles(self, B):
-        bt = B if self.batch_tile is None else self.batch_tile
-        if B % bt:
-            raise ValueError(f"batch {B} not divisible by batch_tile {bt}")
-        return B // bt, bt
+    # batch packing / layout-generic BlockSpecs shared with the SE(3)
+    # pipeline (same self.{S, batch_tile, _tiles} contract)
+    _tiles = PallasPipelineSolver._tiles
+    _pack = PallasPipelineSolver._pack
+    _unpack = PallasPipelineSolver._unpack
+    _bshape = PallasPipelineSolver._bshape
+    _gspec = PallasPipelineSolver._gspec
+    _cspec = PallasPipelineSolver._cspec
 
     def _specs(self, B):
         nb, bt = self._tiles(B)
         ck = self.stage_chunk
-
-        def spec(a):
-            r = len(a.shape)
-            return pl.BlockSpec((ck,) + a.shape[1:-1] + (bt,),
-                                lambda b, i, r=r: (i,) + (0,) * (r - 2) + (b,))
-
-        def cspec(a):
-            r = len(a.shape)
-            return pl.BlockSpec(a.shape[:-1] + (bt,),
-                                lambda b, i, r=r: (0,) * (r - 1) + (b,))
-
+        spec = lambda a: self._gspec(a, bt, ck)
+        cspec = lambda a: self._cspec(a, bt)
         return nb, bt, ck, spec, cspec
 
     def _linearize_lane(self, qR, xi, us, refs, consts):
         N = self.N
         dtp = us.dtype
-        B = us.shape[-1]
+        nbd = 1 if self.S == 1 else 2
+        B = int(np.prod(us.shape[-nbd:]))
         nb, bt, ck, spec, cspec = self._specs(B)
+        bsh = self._bshape(B)
         args = [qR[:-1], qR[1:], xi[:-1], xi[1:], us,
                 refs["RbiR"], refs["xib"]]
         cs = [consts["Jl"], consts["Jil"], consts["W1"], consts["W2"],
               consts["mgr"], consts["mr"]]
         in_specs = [spec(a) for a in args] + [cspec(a) for a in cs]
         out_shapes = (
-            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),   # fqR
-            jax.ShapeDtypeStruct((N, 3, B), dtp),      # fxi
-            jax.ShapeDtypeStruct((N, 6, B), dtp),      # d
-            jax.ShapeDtypeStruct((N, 6, 6, B), dtp),   # Fx
-            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),   # fu2
-            jax.ShapeDtypeStruct((N, 6, B), dtp),      # lx
-            jax.ShapeDtypeStruct((N, 6, 6, B), dtp),   # lxx
-            jax.ShapeDtypeStruct((N, 1, B), dtp),      # l
+            jax.ShapeDtypeStruct((N, 3, 3) + bsh, dtp),   # fqR
+            jax.ShapeDtypeStruct((N, 3) + bsh, dtp),      # fxi
+            jax.ShapeDtypeStruct((N, 6) + bsh, dtp),      # d
+            jax.ShapeDtypeStruct((N, 6, 6) + bsh, dtp),   # Fx
+            jax.ShapeDtypeStruct((N, 3, 3) + bsh, dtp),   # fu2
+            jax.ShapeDtypeStruct((N, 6) + bsh, dtp),      # lx
+            jax.ShapeDtypeStruct((N, 6, 6) + bsh, dtp),   # lxx
+            jax.ShapeDtypeStruct((N, 1) + bsh, dtp),      # l
         )
         out_specs = tuple(spec(s) for s in out_shapes)
         kernel = functools.partial(_linearize_kernel_so3, dt=self.dt,
@@ -342,34 +347,32 @@ class SO3PipelineSolver:
     def _backward_lane(self, lin, lu, term, consts):
         N = self.N
         dtp = lu.dtype
-        B = lu.shape[-1]
+        nbd = 1 if self.S == 1 else 2
+        B = int(np.prod(lu.shape[-nbd:]))
         nb, bt, ck, _, cspec = self._specs(B)
         nc = N // ck
-
-        def spec(a):
-            r = len(a.shape)
-            return pl.BlockSpec(
-                (ck,) + a.shape[1:-1] + (bt,),
-                lambda b, i, r=r: (nc - 1 - i,) + (0,) * (r - 2) + (b,))
+        bsh = self._bshape(B)
+        tsh = self._bshape(bt)
+        spec = lambda a: self._gspec(a, bt, ck, nc=nc)
 
         ins = [lin["Fx"], lin["fu2"], lin["d"], lin["lx"], lu, lin["lxx"]]
         in_specs = [spec(a) for a in ins] + [cspec(a) for a in term] + \
             [cspec(consts["Luu"])]
         out_shapes = (
-            jax.ShapeDtypeStruct((N, NU, B), dtp),
-            jax.ShapeDtypeStruct((N, NU, NX, B), dtp),
-            jax.ShapeDtypeStruct((N, NU, B), dtp),
-            jax.ShapeDtypeStruct((1, 1, B), dtp),
+            jax.ShapeDtypeStruct((N, NU) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, NU, NX) + bsh, dtp),
+            jax.ShapeDtypeStruct((N, NU) + bsh, dtp),
+            jax.ShapeDtypeStruct((1, 1) + bsh, dtp),
         )
         out_specs = tuple(spec(s) for s in out_shapes[:3]) + \
-            (pl.BlockSpec((1, 1, bt), lambda b, i: (0, 0, b)),)
+            (cspec(out_shapes[3]),)
         k, K, gvec, lN = pl.pallas_call(
             functools.partial(_riccati_kernel_so3, chunk=ck,
                               pendulum=self.pendulum),
             grid=(nb, nc), out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((NX, bt), dtp),
-                            pltpu.VMEM((NX, NX, bt), dtp)],
+            scratch_shapes=[pltpu.VMEM((NX,) + tsh, dtp),
+                            pltpu.VMEM((NX, NX) + tsh, dtp)],
             interpret=self.interpret,
             compiler_params=None if self.interpret else _DIMSEM,
         )(*ins, *term, consts["Luu"])
@@ -378,25 +381,28 @@ class SO3PipelineSolver:
     def _rollout_linearize_lane(self, qR, xi, us, k, K, lin, refs, consts):
         N = self.N
         dtp = us.dtype
-        B = us.shape[-1]
+        nbd = 1 if self.S == 1 else 2
+        B = int(np.prod(us.shape[-nbd:]))
         nb, bt, ck, spec, cspec = self._specs(B)
+        bsh = self._bshape(B)
+        tsh = self._bshape(bt)
         ins = [qR[:-1], qR[1:], xi[:-1], xi[1:], us, k, K,
                lin["d"], lin["fqR"], lin["fxi"], refs["RbiR"], refs["xib"]]
         cs = [consts["Jl"], consts["Jil"], consts["W1"], consts["W2"],
               consts["mgr"], consts["mr"]]
         in_specs = [spec(a) for a in ins] + [cspec(a) for a in cs]
         out_shapes = (
-            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),   # oR
-            jax.ShapeDtypeStruct((N, 3, B), dtp),      # oxi
-            jax.ShapeDtypeStruct((N, 3, B), dtp),      # ou
-            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),   # nfqR
-            jax.ShapeDtypeStruct((N, 3, B), dtp),      # nfxi
-            jax.ShapeDtypeStruct((N, 6, B), dtp),      # nd
-            jax.ShapeDtypeStruct((N, 6, 6, B), dtp),   # nFx
-            jax.ShapeDtypeStruct((N, 3, 3, B), dtp),   # nfu2
-            jax.ShapeDtypeStruct((N, 6, B), dtp),      # nlx
-            jax.ShapeDtypeStruct((N, 6, 6, B), dtp),   # nlxx
-            jax.ShapeDtypeStruct((N, 1, B), dtp),      # nl
+            jax.ShapeDtypeStruct((N, 3, 3) + bsh, dtp),   # oR
+            jax.ShapeDtypeStruct((N, 3) + bsh, dtp),      # oxi
+            jax.ShapeDtypeStruct((N, 3) + bsh, dtp),      # ou
+            jax.ShapeDtypeStruct((N, 3, 3) + bsh, dtp),   # nfqR
+            jax.ShapeDtypeStruct((N, 3) + bsh, dtp),      # nfxi
+            jax.ShapeDtypeStruct((N, 6) + bsh, dtp),      # nd
+            jax.ShapeDtypeStruct((N, 6, 6) + bsh, dtp),   # nFx
+            jax.ShapeDtypeStruct((N, 3, 3) + bsh, dtp),   # nfu2
+            jax.ShapeDtypeStruct((N, 6) + bsh, dtp),      # nlx
+            jax.ShapeDtypeStruct((N, 6, 6) + bsh, dtp),   # nlxx
+            jax.ShapeDtypeStruct((N, 1) + bsh, dtp),      # nl
         )
         out_specs = tuple(spec(s) for s in out_shapes)
         kernel = functools.partial(_rollout_linearize_kernel_so3, dt=self.dt,
@@ -405,8 +411,8 @@ class SO3PipelineSolver:
          nl) = pl.pallas_call(
             kernel, grid=(nb, N // ck), out_shape=out_shapes,
             in_specs=in_specs, out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((3, 3, bt), dtp),
-                            pltpu.VMEM((3, bt), dtp)],
+            scratch_shapes=[pltpu.VMEM((3, 3) + tsh, dtp),
+                            pltpu.VMEM((3,) + tsh, dtp)],
             interpret=self.interpret,
             compiler_params=None if self.interpret else _DIMSEM,
         )(*ins, *cs)
@@ -456,12 +462,18 @@ class SO3PipelineSolver:
         B = q0s.shape[0]
         N = self.N
         dtp = us0.dtype
+        pk = self._pack
+        bsh = self._bshape(B)
         qR, xi, us, refs, consts = self._prepare(dyn, cost, q0s, xi0s, us0)
-        lanes = lambda M: jnp.broadcast_to(
-            jnp.asarray(M, dtp)[..., None], jnp.asarray(M).shape + (B,))
-        ref = lambda x: jnp.moveaxis(
+        if self.S > 1:
+            qR, xi, us = pk(qR), pk(xi), pk(us)
+            refs = {k_: pk(v) for k_, v in refs.items()}
+            consts = {k_: pk(v) for k_, v in consts.items()}
+        lanes = lambda M: pk(jnp.broadcast_to(
+            jnp.asarray(M, dtp)[..., None], jnp.asarray(M).shape + (B,)))
+        ref = lambda x: pk(jnp.moveaxis(
             jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:]),
-            1, -1)
+            1, -1))
         RbiR_N = ref(cost.q_ref_inv[-1:])[0]
         xib_N = ref(cost.xi_ref[-1:])[0]
         # terminal quirk: value+gradient weights Q, Hessian weights P
@@ -471,13 +483,13 @@ class SO3PipelineSolver:
         W2hN = lanes(cost.P2)
 
         def backward_metrics(qR, xi, us, lin):
-            lu = 2.0 * jnp.einsum("ij,njb->nib", cost.R.astype(dtp), us)
+            lu = 2.0 * jnp.einsum("ij,nj...->ni...", cost.R.astype(dtp), us)
             term = (qR[-1], xi[-1], RbiR_N, xib_N, W1vN, W2vN, W1hN, W2hN)
             k, K, gvec, lN = self._backward_lane(lin, lu, term, consts)
             g = jnp.mean(jnp.sqrt(jnp.sum(gvec * gvec, axis=1)), axis=0)
-            J = jnp.sum(lin["l"][:, 0, :], axis=0) + \
-                jnp.einsum("nib,ij,njb->b", us, cost.R.astype(dtp), us) + \
-                lN
+            J = jnp.sum(lin["l"][:, 0], axis=0) + \
+                jnp.einsum("ni...,ij,nj...->...", us, cost.R.astype(dtp),
+                           us) + lN
             return k, K, J, g
 
         def body(_, carry):
@@ -488,13 +500,15 @@ class SO3PipelineSolver:
             return qR, xi, us, lin, J, g
 
         lin0 = self._linearize_lane(qR, xi, us, refs, consts)
-        init = (qR, xi, us, lin0, jnp.full((B,), jnp.inf, dtp),
-                jnp.full((B,), jnp.inf, dtp))
+        init = (qR, xi, us, lin0, jnp.full(bsh, jnp.inf, dtp),
+                jnp.full(bsh, jnp.inf, dtp))
         qR, xi, us, _, J, g = lax.fori_loop(0, self.iterations, body, init)
 
-        bk = lambda x: jnp.moveaxis(x, -1, 0)
-        return SO3PipelineState(qs=bk(qR), xis=bk(xi), us=bk(us), J_opt=J,
-                                grad_norm=g)
+        upk = self._unpack
+        bk = lambda x: jnp.moveaxis(upk(x), -1, 0)
+        return SO3PipelineState(qs=bk(qR), xis=bk(xi), us=bk(us),
+                                J_opt=upk(J) if self.S > 1 else J,
+                                grad_norm=upk(g) if self.S > 1 else g)
 
     def solve(self, dyn, cost, q0s, xi0s, us0):
         return self._solve_jit(dyn, cost, jnp.asarray(q0s),
