@@ -931,9 +931,11 @@ def run_mpc_batch(args):
     cp, dp = to32(cp), to32(dp)
     on_tpu = jax.default_backend() == "tpu"
     B, H, T = (1024, 40, 100) if on_tpu else (4, 10, 5)
+    # sublane-packed layout (round 5): B=1024 is exactly one packed tile
     pipe = PallasPipelineSolver(N=H, iterations=4, dt=float(dp.dt),
                                 interpret=not on_tpu,
-                                batch_tile=256 if on_tpu else None)
+                                batch_tile=1024 if on_tpu else None,
+                                sublanes=8 if on_tpu else 1)
     run = make_closed_loop_batch(pipe, solver_full.model, T)
 
     # distinct pre-staged start batches per rep (identical repeated requests
@@ -1005,9 +1007,11 @@ def run_mpc_batch_constrained(args):
     on_tpu = jax.default_backend() == "tpu"
     B, H, T = (1024, 40, 100) if on_tpu else (4, 10, 5)
     lb, ub = -300.0, 300.0
+    # sublane-packed layout (round 5): B=1024 is exactly one packed tile
     pipe = PallasPipelineSolver(N=H, iterations=4, dt=float(dp.dt),
                                 interpret=not on_tpu,
-                                batch_tile=256 if on_tpu else None)
+                                batch_tile=1024 if on_tpu else None,
+                                sublanes=8 if on_tpu else 1)
     run = make_closed_loop_batch_constrained(pipe, solver_full.model, T,
                                              lb, ub, n_al_iters=4)
 
