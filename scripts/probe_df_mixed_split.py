@@ -44,11 +44,15 @@ params64 = bench.build_problem_np64(prob, bench.HORIZON)
 q0_anchor = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_q0.npy"))
 xi0_anchor = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_xi0.npy"))
 
+# NOTE: this probe drives the internal polish methods with hand-built
+# LANE-layout state, so it pins sublanes=1 for the DF phase (the packed
+# phase's end-to-end numbers live in records name=df_mixed_tpu); the f32
+# phase runs packed via the solver's own entry points either way.
 mx = MixedDFPipelineSolver(N=bench.HORIZON, dt=float(prob["dt"]),
                            f32_iterations=bench.ITERS, df_iterations=2,
-                           batch_tile=min(bench.BATCH_TILE, B),
+                           batch_tile=256,
                            stage_chunk=bench.STAGE_CHUNK,
-                           sublanes=bench.SUBLANES)
+                           sublanes=1)
 sp = split_pytree(params64)
 
 
