@@ -65,14 +65,21 @@ def _cross(a, b):
 # -- Riccati backward, const-Fu/Luu specialization ---------------------------
 
 def chol_factor_lane(Quu, nu):
-    """Lane-batched nu x nu Cholesky (unrolled); DF-polymorphic."""
+    """Lane-batched nu x nu Cholesky (unrolled); DF-polymorphic.
+
+    The DIAGONAL IS STORED AS ITS RECIPROCAL (L[j][j] = 1/sqrt(pivot)):
+    the factorization computes that reciprocal anyway for the column
+    scaling, and `chol_solve_lane` then multiplies instead of dividing —
+    the two triangular solves hit the diagonal 2*nu*p times per stage and
+    a VPU divide costs several multiplies.  Only the pivot updates read
+    L entries, and those touch off-diagonals exclusively."""
     L = [[None] * nu for _ in range(nu)]
     for j in range(nu):
         sv = Quu[j, j, :]
         for kk in range(j):
             sv = sv - L[j][kk] * L[j][kk]
-        L[j][j] = dfx.sqrt(sv)
-        inv = 1.0 / L[j][j]
+        inv = 1.0 / dfx.sqrt(sv)
+        L[j][j] = inv
         for i2 in range(j + 1, nu):
             sv = Quu[i2, j, :]
             for kk in range(j):
@@ -82,19 +89,20 @@ def chol_factor_lane(Quu, nu):
 
 
 def chol_solve_lane(L, Bm, nu):
-    """Solve (L L^T) X = Bm for lane-layout Bm (nu, p, B); DF-polymorphic."""
+    """Solve (L L^T) X = Bm for lane-layout Bm (nu, p, B); DF-polymorphic.
+    ``L`` from `chol_factor_lane` (diagonal stored as reciprocal)."""
     Y = [None] * nu
     for i2 in range(nu):
         sv = Bm[i2]
         for kk in range(i2):
             sv = sv - L[i2][kk][None, :] * Y[kk]
-        Y[i2] = sv / L[i2][i2][None, :]
+        Y[i2] = sv * L[i2][i2][None, :]
     X = [None] * nu
     for i2 in reversed(range(nu)):
         sv = Y[i2]
         for kk in range(i2 + 1, nu):
             sv = sv - L[kk][i2][None, :] * X[kk]
-        X[i2] = sv / L[i2][i2][None, :]
+        X[i2] = sv * L[i2][i2][None, :]
     rows = jax.lax.broadcasted_iota(
         jnp.int32, (nu,) + (1,) * (len(Bm.shape) - 1), 0)
     if dfx.is_df(Bm):
