@@ -47,7 +47,7 @@ xi0_anchor = jnp.asarray(np.load(os.path.join(
     bench.GOLDEN_DIR, "bench_se3_n200_xi0.npy")), jnp.float32)
 
 pipe = PallasPipelineSolver(N=N, iterations=bench.ITERS, dt=dt_static,
-                            batch_tile=min(bench.BATCH_TILE, B),
+                            batch_tile=min(256, B),  # lane-safe tile (bench's 1024 is the packed tile)
                             stage_chunk=bench.STAGE_CHUNK)
 al = ALPipelineSolver(pipe, lb=np.full(6, -100.0), ub=np.full(6, 100.0))
 

@@ -39,7 +39,7 @@ xi0_anchor = np.load(os.path.join(bench.GOLDEN_DIR, "bench_se3_n200_xi0.npy"))
 
 dfp = DFPipelineSolver(N=bench.HORIZON, dt=float(prob["dt"]),
                        f32_iterations=bench.ITERS, df_iterations=DF_ITERS,
-                       batch_tile=min(bench.BATCH_TILE, B),
+                       batch_tile=min(256, B),  # lane-safe tile (bench's 1024 is the packed tile)
                        stage_chunk=bench.STAGE_CHUNK)
 sp = split_pytree(params64)
 

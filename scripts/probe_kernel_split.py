@@ -19,7 +19,8 @@ from trajectory_optimization_matrix_lie_groups_tpu.solvers.pipeline import Palla
 import bench
 
 DTYPE = jnp.float32
-B, TILE, CHUNK, ITERS = bench.BATCH, bench.BATCH_TILE, bench.STAGE_CHUNK, bench.ITERS
+# lane-layout probe: lane-safe tile/batch (bench's constants are the packed config)
+B, TILE, CHUNK, ITERS = 8192, 256, 2, bench.ITERS
 model, params, _, _, q_ref, xi_ref = bench.build_problem(DTYPE)
 N = q_ref.shape[0] - 1
 dt_static = float(bench.load_benchmark_pickle(bench.PKL)["prob"]["dt"])

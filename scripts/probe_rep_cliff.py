@@ -45,7 +45,7 @@ model, params, _, _, q_ref, xi_ref = bench.build_problem(bench.DTYPE)
 N = q_ref.shape[0] - 1
 dt_static = float(bench.load_benchmark_pickle(bench.PKL)["prob"]["dt"])
 solver = PallasPipelineSolver(N=N, iterations=bench.ITERS, dt=dt_static,
-                              batch_tile=min(bench.BATCH_TILE, B),
+                              batch_tile=min(256, B),  # lane-safe tile (bench's 1024 is the packed tile)
                               stage_chunk=bench.STAGE_CHUNK)
 q0_anchor = jnp.asarray(np.load(os.path.join(
     bench.GOLDEN_DIR, "bench_se3_n200_q0.npy")), bench.DTYPE)
