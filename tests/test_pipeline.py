@@ -274,3 +274,24 @@ def test_pipeline_sublane_layout_matches_lane():
                 np.testing.assert_allclose(
                     np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
                     rtol=1e-4, atol=1e-5)
+
+
+def test_sublane_pack_unpack_roundtrip_and_tile_mapping():
+    """_pack/_unpack are mutually inverse, and a packed lane tile's
+    (S, bt/S) block holds exactly the same bt problems as the lane
+    layout's contiguous tile (the property the BlockSpec index maps
+    rely on)."""
+    B, bt, S = 64, 16, 8
+    p = PallasPipelineSolver(N=4, iterations=1, dt=0.01, interpret=True,
+                             batch_tile=bt, sublanes=S)
+    x = jnp.arange(5 * 3 * B, dtype=jnp.float32).reshape(5, 3, B)
+    y = p._pack(x)
+    assert y.shape == (5, 3, S, B // S)
+    np.testing.assert_array_equal(np.asarray(p._unpack(y)), np.asarray(x))
+    # tile k of the packed lanes covers global elements [k*bt, (k+1)*bt)
+    btL = bt // S
+    yn = np.asarray(y)
+    for k in range(B // bt):
+        blk = yn[..., :, k * btL:(k + 1) * btL]           # (5, 3, S, btL)
+        want = np.asarray(x)[..., k * bt:(k + 1) * bt].reshape(5, 3, S, btL)
+        np.testing.assert_array_equal(blk, want)
