@@ -54,6 +54,9 @@ cls = DFPipelineSolver if FULL_DF else MixedDFPipelineSolver
 kw = ({} if FULL_DF
       else dict(fx_mode=os.environ.get("FX_MODE", "df")))
 SUBLANES = int(os.environ.get("SUBLANES", str(bench.SUBLANES)))
+DF_TILE = os.environ.get("DF_TILE")
+if DF_TILE:
+    kw["df_batch_tile"] = int(DF_TILE)
 dfp = cls(N=bench.HORIZON, dt=float(prob["dt"]),
           f32_iterations=F32_ITERS, df_iterations=DF_ITERS,
           batch_tile=min(bench.BATCH_TILE, B),

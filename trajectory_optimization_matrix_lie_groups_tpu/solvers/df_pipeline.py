@@ -134,7 +134,9 @@ class DFPipelineSolver:
         boundary and stays lane-layout.  ``df_batch_tile``: batch tile for
         the polish-phase kernels (df_mixed kernel_polish) — defaults to
         ``batch_tile`` (sublane-packed: 1024, the smallest tile that fills
-        the 128-lane axis at S=8)."""
+        the 128-lane axis at S=8 and ALSO the largest that fits: the DF
+        riccati's blocks VMEM-OOM at packed tile 2048 chunk 1 and at tile
+        1024 chunk 2, both measured round 5)."""
         self.N = N
         self.dt = float(dt)
         self.f32_iterations = f32_iterations
