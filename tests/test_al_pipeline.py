@@ -76,8 +76,12 @@ def test_al_pipeline_matches_al_fast():
 
     assert res.outer_iterations == ref.outer_iterations
     assert res.constr_converged == bool(ref.constr_converged)
+    # two independent f32 engines: rtol covers f32 rounding on the large
+    # (|u| ~ 100) controls — the round-5 reciprocal-diagonal Cholesky
+    # moved one element of 288 from 1.9e-4 to 3.1e-4 absolute (4.6e-6
+    # relative) against the unchanged XLA-path oracle
     np.testing.assert_allclose(np.asarray(res.us), np.asarray(ref.us),
-                               atol=2e-4)
+                               rtol=2e-5, atol=2e-4)
     np.testing.assert_allclose(np.asarray(res.max_violation),
                                np.asarray(ref.max_violation), atol=2e-4)
     assert float(res.us.max()) <= ub + 1e-1
