@@ -16,6 +16,7 @@ ascent + active-set penalty rebuild (traopt_controller.py:3270-3290) with a
 diagonal-Imu representation.
 """
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -266,33 +267,41 @@ def al_polish_device(mx, params64, lb, ub, res, q0s, xi0s, n_outers=2,
     mu0 = jnp.max(imu)                            # scalar, stays on device
     us_warm = jnp.asarray(res.us, jnp.float32)
 
-    @jax.jit
-    def dual_update(us_hi, us_lo, lam, imu, mu):
-        glo = (lbv[None, None] - us_hi) - us_lo
-        ghi = (us_hi - ubv[None, None]) + us_lo
-        g = jnp.concatenate([glo, ghi], axis=-1)          # (B, N, 2nu)
-        g = jnp.concatenate([g, jnp.zeros_like(g[:, :1])], axis=1)
-        lam_n = jnp.clip(lam + imu * g, 0.0, None)
-        mu_n = jnp.minimum(mu * jnp.float32(mu_scale), jnp.float32(mu_max))
-        imu_n = jnp.where((g < 0.0) & (lam_n == 0.0), 0.0, mu_n)
-        return lam_n, imu_n, mu_n
-
-    @jax.jit
-    def fallback(us_hi, us_lo, us_f32):
-        vio = lambda u: jnp.maximum(jnp.max(jnp.maximum(
-            lbv[None, None] - u, u - ubv[None, None]), axis=(1, 2)), 0.0)
-        bad = vio(us_hi + us_lo) > vio(us_f32) + jnp.float32(1e-5)
-        m = bad[:, None, None]
-        return (jnp.where(m, us_f32, us_hi),
-                jnp.where(m, jnp.zeros_like(us_lo), us_lo))
-
     mu = mu0
     out = None
     for _ in range(n_outers):
         out = mx.solve(params64, q0s, xi0s, us_warm,
                        al=(lbv, ubv, lam, imu))
-        lam, imu, mu = dual_update(out.us_hi, out.us_lo, lam, imu, mu)
+        lam, imu, mu = _dual_update(out.us_hi, out.us_lo, lam, imu, mu,
+                                    lbv, ubv, float(mu_scale),
+                                    float(mu_max))
         us_warm = out.us_hi
-    us_hi, us_lo = fallback(out.us_hi, out.us_lo,
-                            jnp.asarray(res.us, jnp.float32))
+    us_hi, us_lo = _dual_fallback(out.us_hi, out.us_lo,
+                                  jnp.asarray(res.us, jnp.float32),
+                                  lbv, ubv)
     return out._replace(us_hi=us_hi, us_lo=us_lo), lam, imu
+
+
+# module-level jits so repeated al_polish_device calls reuse the compiled
+# dual-ascent/fallback programs (a closure-captured @jax.jit would retrace
+# on every call)
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def _dual_update(us_hi, us_lo, lam, imu, mu, lbv, ubv, mu_scale, mu_max):
+    glo = (lbv[None, None] - us_hi) - us_lo
+    ghi = (us_hi - ubv[None, None]) + us_lo
+    g = jnp.concatenate([glo, ghi], axis=-1)          # (B, N, 2nu)
+    g = jnp.concatenate([g, jnp.zeros_like(g[:, :1])], axis=1)
+    lam_n = jnp.clip(lam + imu * g, 0.0, None)
+    mu_n = jnp.minimum(mu * jnp.float32(mu_scale), jnp.float32(mu_max))
+    imu_n = jnp.where((g < 0.0) & (lam_n == 0.0), 0.0, mu_n)
+    return lam_n, imu_n, mu_n
+
+
+@jax.jit
+def _dual_fallback(us_hi, us_lo, us_f32, lbv, ubv):
+    vio = lambda u: jnp.maximum(jnp.max(jnp.maximum(
+        lbv[None, None] - u, u - ubv[None, None]), axis=(1, 2)), 0.0)
+    bad = vio(us_hi + us_lo) > vio(us_f32) + jnp.float32(1e-5)
+    m = bad[:, None, None]
+    return (jnp.where(m, us_f32, us_hi),
+            jnp.where(m, jnp.zeros_like(us_lo), us_lo))
